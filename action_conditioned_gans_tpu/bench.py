@@ -1,0 +1,106 @@
+"""Benchmark harness for the BASELINE.json metrics.
+
+Measures the fused G+D train step: frames/sec/chip and p50 per-step latency
+at the given config, on whatever devices are attached (one real TPU chip
+under the driver; the CPU mesh in tests). Also reports a conv-FLOPs roofline
+utilization estimate for the ≥85%-of-roofline north star.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.data import make_dataset
+from action_conditioned_gans_tpu.train.loop import batch_shardings, build_step_and_state
+
+# Peak MXU throughput per chip, bf16 FLOP/s (for roofline accounting only).
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,
+    "cpu": 1e11,
+}
+
+
+def _device_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_FLOPS.items():
+        if name.lower() in kind.lower():
+            return peak
+    return _PEAK_FLOPS["cpu"] if jax.default_backend() == "cpu" else 275e12
+
+
+def step_cost_flops(compiled) -> Optional[float]:
+    """Total FLOPs of the compiled fused step, from XLA's cost analysis."""
+    try:
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]:
+    mesh, state, step_fn = build_step_and_state(cfg)
+    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh))
+    rng = jax.random.PRNGKey(0)
+
+    batch = dataset.batch_at(0)
+    # Compile once (timed separately) and grab the cost analysis.
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch, rng)
+    jax.block_until_ready(metrics)
+    compile_s = time.perf_counter() - t0
+
+    flops = None
+    try:
+        lowered = None  # cost analysis via the jitted fn if available
+        flops = step_cost_flops(step_fn.lower(state, batch, rng).compile())
+    except Exception:
+        pass
+
+    for i in range(1, warmup):
+        state, metrics = step_fn(state, dataset.batch_at(i), rng)
+    jax.block_until_ready(metrics)
+
+    latencies = []
+    for i in range(warmup, warmup + steps):
+        batch = dataset.batch_at(i)
+        jax.block_until_ready(batch)
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch, rng)
+        jax.block_until_ready(metrics)
+        latencies.append(time.perf_counter() - t0)
+
+    lat = np.array(latencies)
+    p50 = float(np.percentile(lat, 50))
+    n_chips = mesh.size
+    frames_per_step = cfg.train.batch_size * max(cfg.train.rollout_length, 1)
+    fps_chip = frames_per_step / p50 / n_chips
+
+    out = {
+        "config": cfg.name,
+        "image_size": cfg.model.image_size,
+        "batch_size": cfg.train.batch_size,
+        "rollout_length": cfg.train.rollout_length,
+        "num_chips": n_chips,
+        "p50_step_latency_ms": p50 * 1e3,
+        "p90_step_latency_ms": float(np.percentile(lat, 90)) * 1e3,
+        "frames_per_sec_per_chip": fps_chip,
+        "compile_s": compile_s,
+        "device": jax.devices()[0].device_kind,
+    }
+    if flops:
+        achieved = flops / p50 / n_chips
+        out["step_tflops"] = flops / 1e12
+        out["achieved_tflops_per_chip"] = achieved / 1e12
+        out["roofline_utilization"] = achieved / _device_peak_flops()
+    return out

@@ -1,0 +1,121 @@
+"""CLI entry point (SURVEY.md §2 row 1): ``acgan train|sample|eval|bench``.
+
+Replaces the reference's ``python main.py --flags`` with subcommands over
+the typed preset configs; any scalar config field can be overridden with
+``--set section.field=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from typing import List
+
+from action_conditioned_gans_tpu.config import Config, get_preset
+
+
+def _coerce(old, raw: str):
+    if isinstance(old, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(old, int):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    return raw
+
+
+def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
+    """--set train.batch_size=16 --set model.image_size=128 ..."""
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        if not raw:
+            raise ValueError(f"override {ov!r} must be section.field=value")
+        parts = key.split(".")
+        if len(parts) == 1:
+            cfg = dataclasses.replace(cfg, **{parts[0]: _coerce(getattr(cfg, parts[0]), raw)})
+            continue
+        if len(parts) != 2:
+            raise ValueError(f"override key {key!r} must be section.field")
+        section, field = parts
+        sub = getattr(cfg, section)
+        new_sub = dataclasses.replace(sub, **{field: _coerce(getattr(sub, field), raw)})
+        cfg = dataclasses.replace(cfg, **{section: new_sub})
+    return cfg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="acgan", description=__doc__)
+    p.add_argument("command", choices=["train", "sample", "eval", "bench", "configs"])
+    p.add_argument("--preset", default="config1", help="BASELINE.json preset name")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--steps", type=int, default=None, help="override total steps")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--out", default=None, help="sample/eval output directory")
+    p.add_argument("--num-clips", type=int, default=8)
+    p.add_argument(
+        "--set",
+        dest="overrides",
+        action="append",
+        default=[],
+        metavar="SEC.FIELD=VAL",
+        help="config override, repeatable",
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "configs":
+        from action_conditioned_gans_tpu.config import PRESETS
+
+        for name, c in PRESETS.items():
+            print(
+                f"{name}: {c.model.image_size}px T={c.train.rollout_length} "
+                f"batch={c.train.batch_size} state_dim={c.model.state_dim} "
+                f"ss={c.train.scheduled_sampling}"
+            )
+        return 0
+
+    cfg = get_preset(args.preset)
+    if args.workdir:
+        cfg = dataclasses.replace(cfg, workdir=args.workdir)
+    cfg = apply_overrides(cfg, args.overrides)
+
+    if args.command == "train":
+        from action_conditioned_gans_tpu.train.loop import train
+
+        train(cfg, max_steps=args.steps, resume=not args.no_resume)
+        return 0
+
+    if args.command in ("sample", "eval"):
+        import jax
+
+        from action_conditioned_gans_tpu.train.sample import sample
+        from action_conditioned_gans_tpu.train.state import init_state
+        from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
+
+        state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+        ckpt = CheckpointManager(f"{cfg.workdir}/checkpoints")
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            print(f"[acgan] loaded checkpoint step {ckpt.latest_step()}")
+        else:
+            print("[acgan] WARNING: no checkpoint found; sampling from init")
+        out = args.out or f"{cfg.workdir}/samples"
+        metrics = sample(cfg, state, out, num_clips=args.num_clips)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.command == "bench":
+        from action_conditioned_gans_tpu.bench import run_bench
+
+        print(json.dumps(run_bench(cfg, steps=args.steps or 30)))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,265 @@
+"""Typed configuration for the framework.
+
+The reference uses ``tf.app.flags``-style globals (SURVEY.md §3 row 1); here
+every knob is a frozen dataclass so configs hash, compare, and feed cleanly
+into ``jax.jit`` static arguments.  The five named presets are the five
+benchmark configs from ``BASELINE.json`` (``configs`` field), reproduced in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the generator / discriminator pair.
+
+    Mirrors the reference capability set (SURVEY.md §1): a conv encoder,
+    spatially-tiled action (and optionally end-effector state) conditioning at
+    the bottleneck, a conv-transpose decoder with tanh output, and a
+    strided-conv LeakyReLU discriminator.
+    """
+
+    image_size: int = 64
+    image_channels: int = 3
+    action_dim: int = 4
+    # 3-dim end-effector state for joint state+action conditioning
+    # (BASELINE.json config 4); 0 disables the state input entirely.
+    state_dim: int = 0
+
+    # Generator.
+    g_base_channels: int = 64
+    g_max_channels: int = 512
+    # Number of stride-2 stages; bottleneck spatial = image_size / 2**levels.
+    g_levels: int = 3
+    # U-Net style encoder->decoder skip connections (off by default: the
+    # reference genre is a plain encoder/decoder, SURVEY.md §4.1).
+    skip_connections: bool = False
+
+    # Discriminator.
+    d_base_channels: int = 64
+    d_max_channels: int = 512
+    d_levels: int = 4
+    # Extra stride-1 conv layers per level ("deeper discriminator",
+    # BASELINE.json config 3).
+    d_extra_layers: int = 0
+    # Condition D on the input frame (pix2pix-style pair) and the tiled
+    # action vector, not just the candidate next frame.
+    d_condition_frame: bool = True
+    d_condition_action: bool = True
+
+    # Normalization: "group" (default; stateless and DP-exact), "batch"
+    # (per-batch statistics, cross-device-synced via psum under data
+    # parallelism — a deliberate, documented deviation from TF1 running-stats
+    # BatchNorm, SURVEY.md §8 hard-part 3), or "none".
+    norm: str = "group"
+    group_norm_groups: int = 32
+    leak: float = 0.2
+
+    # Compute dtype for activations ("bfloat16" on TPU, "float32" for tests /
+    # CPU parity oracle). Parameters and optimizer state are always float32.
+    compute_dtype: str = "bfloat16"
+
+    # Kernel backend: "xla" (lax.conv_general_dilated; always available,
+    # correctness oracle) or "pallas" (fused Pallas TPU kernels).
+    backend: str = "xla"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def bottleneck_size(self) -> int:
+        return self.image_size // (2**self.g_levels)
+
+    @property
+    def cond_dim(self) -> int:
+        return self.action_dim + self.state_dim
+
+
+# ---------------------------------------------------------------------------
+# Data
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline configuration.
+
+    ``source="synthetic"`` uses the seeded on-device pushing-clip generator
+    (SURVEY.md §8 stage 2); ``source="tfrecord"`` reads BAIR-robot-pushing
+    style TFRecords (per-timestep ``{t}/image_aux1/encoded``, ``{t}/action``,
+    ``{t}/endeffector_pos`` features, SURVEY.md §1).
+    """
+
+    source: str = "synthetic"
+    data_dir: Optional[str] = None
+    # Clip length loaded per example: model trains on (frame_t, action_t,
+    # frame_{t+1}) slices for T=1, full clips for rollout training.
+    seq_len: int = 2
+    shuffle_buffer: int = 256
+    # BAIR TFRecord image feature key prefix ("image_aux1" or "image_main").
+    tfrecord_image_key: str = "image_aux1"
+    # Raw stored frame size before crop/resize (BAIR stores 64x64).
+    raw_image_size: int = 64
+
+
+# ---------------------------------------------------------------------------
+# Mesh / parallelism
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §3 parallelism table).
+
+    The reference is single-device; all distribution here is new TPU-native
+    design: DP over the ``data`` axis with psum gradient reduction, optional
+    TP over the ``model`` axis (conv channel sharding via GSPMD). PP/SP/EP
+    are deliberately N/A for this model family (no attention, no MoE, ~10
+    conv layers) — the rollout "sequence" axis is handled by lax.scan, not
+    sharding.
+    """
+
+    # -1 means "all available devices" on the data axis.
+    data: int = -1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # Global batch size (split across the data mesh axis).
+    batch_size: int = 8
+    total_steps: int = 100_000
+    # Adam hyperparameters for the two separate optimizers (SURVEY.md §3
+    # row 6: two AdamOptimizers over G / D variables).
+    g_lr: float = 2e-4
+    d_lr: float = 2e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.999
+    # Generator reconstruction loss: g_loss = adv + recon_weight * recon.
+    recon_weight: float = 100.0
+    recon_type: str = "l2"  # "l2" | "l1"
+    # D updates per G update (reference alternates 1:1, SURVEY.md §4.1).
+    disc_steps: int = 1
+
+    # Rollout training (BASELINE.json configs 2, 4, 5): number of
+    # autoregressive prediction steps per example. 1 = single-step GAN.
+    rollout_length: int = 1
+    # Scheduled sampling (config 4): probability of feeding the model its own
+    # prediction instead of ground truth decays linearly from
+    # ss_start_prob at step 0 to ss_end_prob at ss_decay_steps.
+    scheduled_sampling: bool = False
+    ss_start_prob: float = 0.0
+    ss_end_prob: float = 1.0
+    ss_decay_steps: int = 50_000
+
+    seed: int = 0
+    log_every: int = 100
+    checkpoint_every: int = 1000
+    checkpoint_keep: int = 3
+    sample_every: int = 1000
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "config1"
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    workdir: str = "/tmp/acgan"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _p(**kw):
+    return kw
+
+
+# The five BASELINE.json benchmark configs, verbatim mapping:
+PRESETS = {
+    # 1. "64x64 single-step next-frame GAN, batch 8, synthetic pushing-style
+    #    clips + 4-dim action (CPU ref run)"
+    "config1": Config(
+        name="config1",
+        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
+        data=DataConfig(source="synthetic", seq_len=2),
+        train=TrainConfig(batch_size=8, rollout_length=1),
+    ),
+    # 2. "64x64 multi-step rollout (T=10) with recurrent action-conditioned
+    #    generator, batch 16"
+    "config2": Config(
+        name="config2",
+        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
+        data=DataConfig(source="synthetic", seq_len=11),
+        train=TrainConfig(batch_size=16, rollout_length=10),
+    ),
+    # 3. "128x128 frames, deeper discriminator, batch 32 data-parallel on
+    #    v4-8"
+    "config3": Config(
+        name="config3",
+        model=ModelConfig(
+            image_size=128, action_dim=4, g_levels=4, d_levels=5, d_extra_layers=1
+        ),
+        data=DataConfig(source="synthetic", seq_len=2),
+        train=TrainConfig(batch_size=32, rollout_length=1),
+        mesh=MeshConfig(data=-1, model=1),
+    ),
+    # 4. "State+action joint conditioning with scheduled-sampling rollouts,
+    #    batch 64"
+    "config4": Config(
+        name="config4",
+        model=ModelConfig(image_size=64, action_dim=4, state_dim=3, g_levels=3, d_levels=4),
+        data=DataConfig(source="synthetic", seq_len=11),
+        train=TrainConfig(
+            batch_size=64,
+            rollout_length=10,
+            scheduled_sampling=True,
+            ss_start_prob=0.0,
+            ss_end_prob=1.0,
+            ss_decay_steps=50_000,
+        ),
+        mesh=MeshConfig(data=-1, model=1),
+    ),
+    # 5. "256x256 long-horizon (T=30) rollouts, data-parallel across a
+    #    v5e-16 pod"
+    "config5": Config(
+        name="config5",
+        model=ModelConfig(
+            image_size=256, action_dim=4, g_levels=5, d_levels=6, d_extra_layers=1
+        ),
+        data=DataConfig(source="synthetic", seq_len=31),
+        train=TrainConfig(batch_size=32, rollout_length=30),
+        mesh=MeshConfig(data=-1, model=1),
+    ),
+}
+
+
+def get_preset(name: str, **overrides) -> Config:
+    """Return a named BASELINE.json preset, optionally with field overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    cfg = PRESETS[name]
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg

@@ -1,0 +1,55 @@
+"""Dataset construction: config -> batch iterator.
+
+Dispatches between the on-device synthetic source and the host-side
+BAIR-style TFRecord reader (``data.tfrecord``). The TFRecord path performs
+the reference's full input transform (SURVEY.md §4.3): parse per-timestep
+features -> decode -> resize -> [0,1] -> [-1,1] -> action/state packing,
+then double-buffers batches onto the device.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.data.synthetic import SyntheticClips
+
+
+def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: int = 1):
+    """Build the training data iterator for a config.
+
+    ``out_shardings``: optional NamedSharding pytree — synthetic batches are
+    generated directly into their data-parallel layout.
+    ``host_id``/``num_hosts``: multi-host sharding of the file set (each host
+    reads a disjoint shard; SURVEY.md §8 hard-part 4).
+    """
+    d, t, m = cfg.data, cfg.train, cfg.model
+    seq_len = t.rollout_length + 1
+    if d.source == "synthetic":
+        return SyntheticClips(
+            batch=t.batch_size,
+            seq_len=seq_len,
+            image_size=m.image_size,
+            action_dim=m.action_dim,
+            with_state=True,
+            seed=t.seed,
+            out_shardings=out_shardings,
+        )
+    if d.source == "tfrecord":
+        from action_conditioned_gans_tpu.data import tfrecord
+
+        return tfrecord.TFRecordClips(
+            data_dir=d.data_dir,
+            batch=t.batch_size,
+            seq_len=seq_len,
+            image_size=m.image_size,
+            action_dim=m.action_dim,
+            state_dim=m.state_dim or 3,
+            image_key=d.tfrecord_image_key,
+            shuffle_buffer=d.shuffle_buffer,
+            seed=t.seed,
+            host_id=host_id,
+            num_hosts=num_hosts,
+            out_shardings=out_shardings,
+        )
+    raise ValueError(f"unknown data source {d.source!r}")

@@ -1,0 +1,218 @@
+"""BAIR-robot-pushing-style TFRecord input path (SURVEY.md §1, §4.3).
+
+Schema (per record = one clip of ``clip_len`` timesteps, the BAIR layout):
+  ``{t}/image_aux1/encoded``  bytes — raw RGB24 or JPEG/PNG frame
+  ``{t}/action``              float32[action_dim]
+  ``{t}/endeffector_pos``     float32[state_dim]
+
+The reader reproduces the reference's full input transform: parse ->
+decode -> resize to the model resolution -> [0,1] -> [-1,1] -> slice a
+random ``seq_len`` window -> pack actions/states alongside frames — all in
+tf.data on the host CPU — then prefetches batches onto the device.
+
+TensorFlow is imported lazily; the core framework never depends on it
+unless this source is selected.
+
+Multi-host: each host opens a disjoint shard of the file list
+(``files[host_id::num_hosts]``), the standard per-host input sharding for a
+v5e-16 pod (SURVEY.md §8 hard-part 4).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _tf():
+    import tensorflow as tf  # lazy
+
+    tf.config.set_visible_devices([], "GPU")
+    return tf
+
+
+class TFRecordClips:
+    """Streaming clip-batch reader with the unified batch contract
+    (frames (B, T, H, W, C) in [-1, 1], actions (B, T-1, A), states)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        batch: int,
+        seq_len: int,
+        image_size: int,
+        action_dim: int = 4,
+        state_dim: int = 3,
+        clip_len: int = 30,
+        image_key: str = "image_aux1",
+        encoding: str = "auto",  # "raw" | "image" | "auto"
+        raw_image_size: int = 64,
+        shuffle_buffer: int = 256,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        repeat: bool = True,
+        out_shardings=None,
+    ):
+        if not data_dir:
+            raise ValueError("tfrecord source requires data_dir")
+        pattern = (
+            data_dir
+            if any(ch in os.path.basename(data_dir) for ch in "*?[")
+            else os.path.join(data_dir, "*.tfrecord*")
+        )
+        files = sorted(glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f"no TFRecord files match {pattern}")
+        self._files = files[host_id::num_hosts]
+        self.batch = batch
+        self.seq_len = seq_len
+        self.image_size = image_size
+        self.action_dim = action_dim
+        self.state_dim = state_dim
+        self.clip_len = clip_len
+        self.image_key = image_key
+        self.encoding = encoding
+        self.raw_image_size = raw_image_size
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.repeat = repeat
+        self._out_shardings = out_shardings
+        self._it = None
+
+    # -- tf.data graph -------------------------------------------------------
+    def _build(self):
+        tf = _tf()
+        T, A, S = self.clip_len, self.action_dim, self.state_dim
+
+        feature_spec = {}
+        for t in range(T):
+            feature_spec[f"{t}/{self.image_key}/encoded"] = tf.io.FixedLenFeature(
+                [], tf.string
+            )
+            feature_spec[f"{t}/action"] = tf.io.FixedLenFeature([A], tf.float32)
+            feature_spec[f"{t}/endeffector_pos"] = tf.io.FixedLenFeature(
+                [S], tf.float32
+            )
+
+        raw_hw = self.raw_image_size
+
+        def decode_frame(b):
+            if self.encoding == "raw":
+                img = tf.reshape(tf.io.decode_raw(b, tf.uint8), (raw_hw, raw_hw, 3))
+            elif self.encoding == "image":
+                img = tf.io.decode_image(b, channels=3, expand_animations=False)
+                img.set_shape((None, None, 3))
+            else:  # auto: raw iff the payload is exactly H*W*3 bytes
+                img = tf.cond(
+                    tf.equal(tf.strings.length(b), raw_hw * raw_hw * 3),
+                    lambda: tf.reshape(
+                        tf.io.decode_raw(b, tf.uint8), (raw_hw, raw_hw, 3)
+                    ),
+                    lambda: tf.reshape(
+                        tf.io.decode_image(b, channels=3, expand_animations=False),
+                        (raw_hw, raw_hw, 3),
+                    ),
+                )
+            return img
+
+        def parse(record):
+            ex = tf.io.parse_single_example(record, feature_spec)
+            frames = tf.stack(
+                [decode_frame(ex[f"{t}/{self.image_key}/encoded"]) for t in range(T)]
+            )  # (T, raw, raw, 3) uint8
+            if self.image_size != raw_hw:
+                frames = tf.image.resize(
+                    tf.cast(frames, tf.float32), (self.image_size, self.image_size)
+                )
+            else:
+                frames = tf.cast(frames, tf.float32)
+            frames = frames / 255.0 * 2.0 - 1.0  # the [0,1] -> [-1,1] normalize
+            actions = tf.stack([ex[f"{t}/action"] for t in range(T)])
+            states = tf.stack([ex[f"{t}/endeffector_pos"] for t in range(T)])
+
+            # Random seq_len window; actions/states align with the *source*
+            # frame of each transition: action[t] maps frame[t] -> frame[t+1].
+            max_start = T - self.seq_len
+            start = (
+                tf.random.uniform([], 0, max_start + 1, dtype=tf.int32)
+                if max_start > 0
+                else 0
+            )
+            return {
+                "frames": frames[start : start + self.seq_len],
+                "actions": actions[start : start + self.seq_len - 1],
+                "states": states[start : start + self.seq_len - 1],
+            }
+
+        ds = tf.data.TFRecordDataset(self._files, num_parallel_reads=4)
+        if self.repeat:
+            ds = ds.repeat()
+        ds = ds.shuffle(self.shuffle_buffer, seed=self.seed)
+        ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
+        ds = ds.batch(self.batch, drop_remainder=True)
+        ds = ds.prefetch(tf.data.AUTOTUNE)
+        return ds.as_numpy_iterator()
+
+    # -- iterator protocol ----------------------------------------------------
+    def _place(self, np_batch: Dict[str, np.ndarray]):
+        if self._out_shardings is None:
+            return {k: jax.numpy.asarray(v) for k, v in np_batch.items()}
+        return {
+            k: jax.device_put(v, self._out_shardings[k]) for k, v in np_batch.items()
+        }
+
+    def batch_at(self, index) -> Dict[str, jax.Array]:
+        """Stream-ordered: TFRecords are not random-access, so the index is
+        ignored (the synthetic source IS index-addressable; resume-exactness
+        for file data comes from the shuffle seed + step count instead)."""
+        del index
+        if self._it is None:
+            self._it = self._build()
+        return self._place(next(self._it))
+
+    def __iter__(self):
+        i = 0
+        while True:
+            yield self.batch_at(i)
+            i += 1
+
+
+def write_clips_tfrecord(
+    path: str,
+    frames: np.ndarray,  # (N, T, H, W, 3) uint8 or [-1,1] float
+    actions: np.ndarray,  # (N, T, A) float32 (last action may be zeros)
+    states: np.ndarray,  # (N, T, S) float32
+    image_key: str = "image_aux1",
+) -> None:
+    """Write clips in the BAIR per-timestep schema (raw RGB24 frames).
+
+    Used by the test fixtures (SURVEY.md §5.5) and as a data-prep utility for
+    converting other sources into the training format.
+    """
+    tf = _tf()
+    if frames.dtype != np.uint8:
+        frames = np.round((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with tf.io.TFRecordWriter(path) as w:
+        for n in range(frames.shape[0]):
+            feat = {}
+            for t in range(frames.shape[1]):
+                feat[f"{t}/{image_key}/encoded"] = tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=[frames[n, t].tobytes()])
+                )
+                feat[f"{t}/action"] = tf.train.Feature(
+                    float_list=tf.train.FloatList(value=actions[n, t].tolist())
+                )
+                feat[f"{t}/endeffector_pos"] = tf.train.Feature(
+                    float_list=tf.train.FloatList(value=states[n, t].tolist())
+                )
+            w.write(
+                tf.train.Example(
+                    features=tf.train.Features(feature=feat)
+                ).SerializeToString()
+            )

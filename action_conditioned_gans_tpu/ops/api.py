@@ -1,0 +1,92 @@
+"""Backend dispatch for the layer ops.
+
+Models call these functions; the ``backend`` argument (threaded from
+``ModelConfig.backend``) selects the plain-XLA implementation or the fused
+Pallas TPU kernels. Pallas covers the ops where fusion wins (norm+activation
+epilogues, MXU conv); anything it does not cover falls back to XLA so the
+"pallas" backend is always safe to enable (SURVEY.md §8 stage 7: XLA
+fallback is permanent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from action_conditioned_gans_tpu.ops import xla as _xla
+
+_DEFAULT_BACKEND = "xla"
+
+
+def set_default_backend(name: str) -> None:
+    global _DEFAULT_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {name!r}")
+    _DEFAULT_BACKEND = name
+
+
+def get_default_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+def _resolve(backend: Optional[str]) -> str:
+    return backend if backend is not None else _DEFAULT_BACKEND
+
+
+def _pallas():
+    # Imported lazily: the pallas package requires a TPU-capable jaxlib path
+    # and is only touched when explicitly requested.
+    from action_conditioned_gans_tpu.ops import pallas as _p
+
+    return _p
+
+
+def conv2d(x, w, *, stride=1, padding="SAME", backend=None) -> jax.Array:
+    if _resolve(backend) == "pallas":
+        return _pallas().conv2d(x, w, stride=stride, padding=padding)
+    return _xla.conv2d(x, w, stride=stride, padding=padding)
+
+
+def conv2d_transpose(x, w, *, stride=2, padding="SAME", backend=None) -> jax.Array:
+    if _resolve(backend) == "pallas":
+        return _pallas().conv2d_transpose(x, w, stride=stride, padding=padding)
+    return _xla.conv2d_transpose(x, w, stride=stride, padding=padding)
+
+
+def dense(x, w, b=None, *, backend=None) -> jax.Array:
+    return _xla.dense(x, w, b)
+
+
+def leaky_relu(x, leak: float = 0.2) -> jax.Array:
+    return _xla.leaky_relu(x, leak)
+
+
+def norm_act(
+    x,
+    scale,
+    bias,
+    *,
+    kind="group",
+    groups=32,
+    eps=1e-5,
+    act="lrelu",
+    leak=0.2,
+    axis_name=None,
+    backend=None,
+) -> jax.Array:
+    if _resolve(backend) == "pallas" and kind == "group" and axis_name is None:
+        return _pallas().group_norm_act(
+            x, scale, bias, groups=groups, eps=eps, act=act, leak=leak
+        )
+    return _xla.norm_act(
+        x,
+        scale,
+        bias,
+        kind=kind,
+        groups=groups,
+        eps=eps,
+        act=act,
+        leak=leak,
+        axis_name=axis_name,
+    )

@@ -1,0 +1,149 @@
+"""Plain-XLA implementations of the layer ops.
+
+These are the always-available backend and the numerical oracle the Pallas
+kernels are verified against (SURVEY.md §5.1: plain-XLA-on-CPU forward pass
+vs Pallas TPU kernels within 1e-3).
+
+Layout conventions (TPU-native):
+  * activations: NHWC
+  * conv kernels: HWIO  (kh, kw, in_ch, out_ch)
+  * matmuls accumulate in float32 (``preferred_element_type``) regardless of
+    the bfloat16 compute dtype, so the MXU runs bf16 inputs with fp32
+    accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers  # alias
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 1,
+    padding: str = "SAME",
+) -> jax.Array:
+    """Strided 2-D convolution (reference ``ops.conv2d``, SURVEY.md §3 row 3)."""
+    dn = _DN(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    # No explicit preferred_element_type: XLA already accumulates bf16 convs
+    # in fp32 on the MXU, and a widened output dtype breaks the transpose
+    # (grad) rule's operand dtype matching.
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=dn,
+    )
+
+
+def conv2d_transpose(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 2,
+    padding: str = "SAME",
+) -> jax.Array:
+    """Fractionally-strided conv (reference ``ops.deconv2d``).
+
+    Implemented as ``lax.conv_transpose`` so XLA lowers it to a single
+    input-dilated convolution on the MXU rather than a scatter.
+    """
+    dn = _DN(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_transpose(
+        x,
+        w.astype(x.dtype),
+        strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=dn,
+    )
+
+
+def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """Linear layer (reference ``ops.linear``)."""
+    y = jnp.dot(x, w.astype(x.dtype))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def leaky_relu(x: jax.Array, leak: float = 0.2) -> jax.Array:
+    """Reference ``ops.lrelu(x, 0.2)``."""
+    return jnp.where(x >= 0, x, x * jnp.asarray(leak, x.dtype))
+
+
+def _apply_act(x: jax.Array, act: str, leak: float) -> jax.Array:
+    if act == "lrelu":
+        return leaky_relu(x, leak)
+    if act == "relu":
+        return jnp.maximum(x, jnp.zeros((), x.dtype))
+    if act == "tanh":
+        return jnp.tanh(x)
+    if act == "none":
+        return x
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def norm_act(
+    x: jax.Array,
+    scale: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    *,
+    kind: str = "group",
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: str = "lrelu",
+    leak: float = 0.2,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Fused normalization + activation.
+
+    ``kind``:
+      * ``"group"`` — GroupNorm over (H, W, C/g) per example. Stateless and
+        bitwise-identical under data parallelism.
+      * ``"batch"`` — per-batch statistics over (N, H, W); when ``axis_name``
+        is set the moments are ``psum``-synced across the data mesh axis
+        (sync-BN). Deliberately has NO running averages: a documented
+        behavioral deviation from TF1 BatchNorm (SURVEY.md §8 hard-part 3) —
+        GAN generators are typically sampled in train mode anyway.
+      * ``"none"`` — bias-only (+ activation).
+
+    Statistics are computed in float32 and the result cast back to x.dtype.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if kind == "group":
+        n, h, w_, c = xf.shape
+        g = min(groups, c)
+        while c % g:
+            g -= 1
+        xg = xf.reshape(n, h, w_, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+        xg = (xg - mean) * lax.rsqrt(var + eps)
+        y = xg.reshape(n, h, w_, c)
+    elif kind == "batch":
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = lax.pmean(mean, axis_name)
+            mean_sq = lax.pmean(mean_sq, axis_name)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        y = (xf - mean) * lax.rsqrt(var + eps)
+    elif kind == "none":
+        y = xf
+    else:
+        raise ValueError(f"unknown norm kind {kind!r}")
+
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return _apply_act(y.astype(dtype), act, leak)

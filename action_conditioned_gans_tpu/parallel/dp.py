@@ -1,0 +1,48 @@
+"""Explicit data parallelism: shard_map + psum inside the fused step.
+
+This is the primary scaling path (SURVEY.md §3: DP is first-class). The
+fused G+D step runs per-device on the local batch shard; gradients and
+metrics are ``pmean``-reduced over the 'data' mesh axis *inside* the same
+trace, so the whole iteration — rollout, both loss/grad computations, both
+Adam updates, the cross-device all-reduce — is one XLA executable with the
+collectives scheduled on ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.5 exports shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.train.step import make_train_step
+
+
+def make_dp_train_step(cfg: Config, mesh: Mesh):
+    """Jitted data-parallel fused step: (state, batch, rng) -> (state, metrics).
+
+    State is replicated (PartitionSpec()), the batch is sharded on its
+    leading axis over 'data', and the returned state/metrics are replicated
+    (valid because grads/metrics are pmean'd before use).
+    """
+    data_axis = mesh.axis_names[0]
+    step = make_train_step(cfg, axis_name=data_axis)
+
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def dp_batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -1,0 +1,102 @@
+"""Host-side training loop (SURVEY.md §3 row 7, rebuilt).
+
+The reference's Session loop alternates two ``sess.run`` dispatches and
+periodically writes summaries/checkpoints. Here the host loop is thin: every
+iteration launches ONE pre-compiled fused G+D step on device-resident data
+(async dispatch — the host never blocks except at metric/log boundaries),
+plus orbax checkpointing and metric/latency accounting.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.data import make_dataset
+from action_conditioned_gans_tpu.parallel import make_dp_train_step, make_gspmd_train_step, make_mesh
+from action_conditioned_gans_tpu.train.state import TrainState, init_state, param_count
+from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
+from action_conditioned_gans_tpu.utils.metrics import MetricWriter
+
+
+def build_step_and_state(cfg: Config, mesh=None):
+    """Shared setup for train/bench: mesh, initial state, compiled fused step.
+
+    Model-axis > 1 uses the GSPMD dp x tp path; otherwise the explicit
+    shard_map DP path (also correct for a single device: mesh (1, 1)).
+    """
+    mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+    state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if mesh.shape[mesh.axis_names[1]] > 1:
+        step_fn = make_gspmd_train_step(cfg, mesh, state)
+    else:
+        step_fn = make_dp_train_step(cfg, mesh)
+    return mesh, state, step_fn
+
+
+def batch_shardings(cfg: Config, mesh, with_state: bool = True):
+    """NamedSharding pytree for the clip batch (leading dim over 'data')."""
+    s = NamedSharding(mesh, P(mesh.axis_names[0]))
+    out = {"frames": s, "actions": s}
+    if with_state:
+        out["states"] = s
+    return out
+
+
+def train(
+    cfg: Config,
+    max_steps: Optional[int] = None,
+    resume: bool = True,
+    workdir: Optional[str] = None,
+) -> TrainState:
+    workdir = workdir or cfg.workdir
+    os.makedirs(workdir, exist_ok=True)
+    t = cfg.train
+    total = max_steps if max_steps is not None else t.total_steps
+
+    mesh, state, step_fn = build_step_and_state(cfg)
+    g_n, d_n = param_count(state)
+    print(f"[acgan] {cfg.name}: G params {g_n:,} | D params {d_n:,} | mesh {dict(mesh.shape)}")
+
+    ckpt = CheckpointManager(
+        os.path.join(workdir, "checkpoints"), keep=t.checkpoint_keep
+    )
+    start = 0
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        # Restored leaves are committed to a single device; re-place them
+        # replicated over the mesh so they compose with the sharded batch.
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        start = int(np.asarray(state.step))
+        print(f"[acgan] resumed from checkpoint at step {start}")
+
+    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh))
+    writer = MetricWriter(os.path.join(workdir, "tb"))
+    rng = jax.random.PRNGKey(t.seed + 1)
+
+    metrics = {}
+    for i in range(start, total):
+        batch = dataset.batch_at(i)
+        state, metrics = step_fn(state, batch, rng)
+        if (i + 1) % t.log_every == 0 or i == start:
+            # Block on metrics only at log boundaries; keeps dispatch async.
+            writer.write(i + 1, jax.device_get(metrics))
+        writer.tick()
+        if (i + 1) % t.checkpoint_every == 0:
+            ckpt.save(i + 1, jax.device_get(state))
+
+    if total > start and ckpt.latest_step() != total:
+        ckpt.save(total, jax.device_get(state), force=True)
+    ckpt.wait()
+    p50 = writer.p50_latency()
+    if p50:
+        fps = writer.frames_per_sec(
+            t.batch_size * t.rollout_length, num_chips=mesh.size
+        )
+        print(f"[acgan] p50 step latency {p50 * 1e3:.2f} ms | {fps:.1f} frames/sec/chip")
+    return state

@@ -1,0 +1,76 @@
+"""Multi-step autoregressive rollout of the recurrent generator.
+
+BASELINE.json configs 2/4/5: the single-step generator is unrolled over the
+time axis with ``lax.scan`` (the TPU-native answer to the reference's
+feed-the-output-back host loop, SURVEY.md §4.2), with scheduled sampling —
+each step stochastically feeds the model its own previous prediction instead
+of the ground-truth frame, with probability that anneals over training
+(SURVEY.md §6 "long-context" row: the rollout length T *is* the sequence
+axis; no attention, so no ring/Ulysses sharding — T=30 @ 256^2 activations
+fit per chip).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from action_conditioned_gans_tpu.config import TrainConfig
+
+
+def scheduled_sampling_prob(step: jax.Array, tcfg: TrainConfig) -> jax.Array:
+    """Linear anneal from ss_start_prob to ss_end_prob over ss_decay_steps.
+
+    Returns the probability of feeding the model its OWN prediction.
+    0 when scheduled sampling is disabled (pure teacher forcing).
+    """
+    if not tcfg.scheduled_sampling:
+        return jnp.zeros((), jnp.float32)
+    frac = jnp.clip(step.astype(jnp.float32) / max(tcfg.ss_decay_steps, 1), 0.0, 1.0)
+    return tcfg.ss_start_prob + frac * (tcfg.ss_end_prob - tcfg.ss_start_prob)
+
+
+def rollout_generator(
+    g_apply: Callable[..., jax.Array],
+    g_params: Any,
+    frames: jax.Array,  # (B, T+1, H, W, C) ground truth, [-1, 1]
+    actions: jax.Array,  # (B, T, A)
+    states: Optional[jax.Array],  # (B, T, S) or None
+    rng: jax.Array,
+    ss_prob: jax.Array,  # scalar in [0, 1]
+) -> jax.Array:
+    """Unroll the generator T steps; returns predictions (B, T, H, W, C).
+
+    Step t conditions on a mix of ground-truth frame t and the step-(t-1)
+    prediction (per-example Bernoulli(ss_prob); step 0 always sees ground
+    truth because the carry is initialized to frame 0).
+    """
+    b, tp1 = frames.shape[:2]
+    t = tp1 - 1
+    # scan wants time-major xs.
+    frames_tm = jnp.moveaxis(frames[:, :t], 0, 1)  # (T, B, H, W, C) inputs
+    actions_tm = jnp.moveaxis(actions, 0, 1)  # (T, B, A)
+    states_tm = jnp.moveaxis(states, 0, 1) if states is not None else None
+    keys = jax.random.split(rng, t)
+
+    def step(prev_pred, xs):
+        if states_tm is None:
+            frame_gt, action, key = xs
+            state = None
+        else:
+            frame_gt, action, state, key = xs
+        use_pred = jax.random.bernoulli(key, ss_prob, (b,))
+        inp = jnp.where(use_pred[:, None, None, None], prev_pred, frame_gt)
+        pred = g_apply(g_params, inp, action, state)
+        return pred.astype(frame_gt.dtype), pred
+
+    xs = (
+        (frames_tm, actions_tm, keys)
+        if states_tm is None
+        else (frames_tm, actions_tm, states_tm, keys)
+    )
+    _, preds = lax.scan(step, frames[:, 0], xs)
+    return jnp.moveaxis(preds, 0, 1)  # (B, T, H, W, C)

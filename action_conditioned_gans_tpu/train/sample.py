@@ -1,0 +1,87 @@
+"""Sampling and evaluation (SURVEY.md §3 row 8, §4.2).
+
+The reference periodically runs the generator on held-out (frame, action)
+pairs and dumps PNG/GIF grids. Rebuild: a jitted autoregressive rollout
+(lax.scan, fully self-conditioned — ss_prob = 1) plus host-side image export
+and quantitative eval metrics (L1/L2/PSNR vs ground truth).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.data import generate_clips
+from action_conditioned_gans_tpu.models import Generator
+from action_conditioned_gans_tpu.train.rollout import rollout_generator
+from action_conditioned_gans_tpu.train.state import TrainState
+from action_conditioned_gans_tpu.utils.images import save_gif, save_image_grid, save_rollout_strip
+
+
+def make_rollout_fn(cfg: Config):
+    """Jitted fully-autoregressive rollout: (g_params, batch, rng) -> preds."""
+    gen = Generator(cfg.model)
+
+    def g_apply(params, frame, action, state):
+        return gen.apply({"params": params}, frame, action, state)
+
+    def fn(g_params, batch, rng):
+        states = batch.get("states") if cfg.model.state_dim else None
+        return rollout_generator(
+            g_apply,
+            g_params,
+            batch["frames"],
+            batch["actions"],
+            states,
+            rng,
+            jnp.ones((), jnp.float32),  # always feed own prediction back
+        )
+
+    return jax.jit(fn)
+
+
+def eval_metrics(preds: jax.Array, targets: jax.Array) -> Dict[str, float]:
+    """L2 / L1 / PSNR between predicted and ground-truth frames ([-1, 1])."""
+    p = np.asarray(preds, np.float32)
+    t = np.asarray(targets, np.float32)
+    mse = float(np.mean((p - t) ** 2))
+    l1 = float(np.mean(np.abs(p - t)))
+    # PSNR on the [0, 1] scale (peak = 1 after the /2 denorm).
+    psnr = float(10 * np.log10(4.0 / max(mse, 1e-12)))
+    return {"eval_l2": mse, "eval_l1": l1, "eval_psnr": psnr}
+
+
+def sample(
+    cfg: Config,
+    state: TrainState,
+    out_dir: str,
+    num_clips: int = 8,
+    horizon: Optional[int] = None,
+    seed: int = 1234,
+) -> Dict[str, float]:
+    """Generate rollouts on held-out synthetic clips, write PNG grids + GIFs
+    + GT-vs-pred strips, and return eval metrics."""
+    os.makedirs(out_dir, exist_ok=True)
+    horizon = horizon or max(cfg.train.rollout_length, 1)
+    batch = generate_clips(
+        jax.random.PRNGKey(seed),  # held-out: disjoint from the training seed stream
+        num_clips,
+        horizon + 1,
+        cfg.model.image_size,
+        cfg.model.action_dim,
+    )
+    preds = make_rollout_fn(cfg)(state.g_params, batch, jax.random.PRNGKey(0))
+    preds = np.asarray(preds, np.float32)
+    targets = np.asarray(batch["frames"][:, 1:], np.float32)
+
+    save_image_grid(os.path.join(out_dir, "pred_final_frame.png"), preds[:, -1])
+    save_image_grid(os.path.join(out_dir, "gt_final_frame.png"), targets[:, -1])
+    for i in range(min(num_clips, 4)):
+        save_gif(os.path.join(out_dir, f"rollout_{i}.gif"), preds[i])
+        save_rollout_strip(os.path.join(out_dir, f"strip_{i}.png"), targets[i], preds[i])
+    return eval_metrics(preds, targets)

@@ -1,0 +1,61 @@
+"""Train state: G/D parameters + two independent optimizer states.
+
+The reference keeps two ``tf.train.AdamOptimizer``s over variable-scoped G/D
+collections (SURVEY.md §3 row 6); here the split is structural — two param
+pytrees, two ``optax`` states — so the "gradient flows are disjoint"
+property (SURVEY.md §5.3) holds by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.models import Discriminator, Generator
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array  # int32 scalar
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+
+
+def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    t = cfg.train
+    g_tx = optax.adam(t.g_lr, b1=t.adam_b1, b2=t.adam_b2)
+    d_tx = optax.adam(t.d_lr, b1=t.adam_b1, b2=t.adam_b2)
+    return g_tx, d_tx
+
+
+def init_state(cfg: Config, rng: jax.Array) -> TrainState:
+    """Initialize parameters and optimizer states (all float32)."""
+    m = cfg.model
+    gen, disc = Generator(m), Discriminator(m)
+    kg, kd = jax.random.split(rng)
+    frame = jnp.zeros((1, m.image_size, m.image_size, m.image_channels), jnp.float32)
+    action = jnp.zeros((1, m.action_dim), jnp.float32)
+    state_vec = jnp.zeros((1, m.state_dim), jnp.float32) if m.state_dim else None
+    g_params = gen.init(kg, frame, action, state_vec)["params"]
+    d_params = disc.init(kd, frame, frame, action, state_vec)["params"]
+    g_tx, d_tx = make_optimizers(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+    )
+
+
+def param_count(state: TrainState) -> Tuple[int, int]:
+    g = sum(x.size for x in jax.tree_util.tree_leaves(state.g_params))
+    d = sum(x.size for x in jax.tree_util.tree_leaves(state.d_params))
+    return g, d

@@ -1,0 +1,163 @@
+"""The fused G+D training step — the hot loop of the framework.
+
+Reference hot loop: two separate ``sess.run`` dispatches per iteration,
+``d_optim`` then ``g_optim`` (SURVEY.md §4.1). Rebuild: ONE pure function
+(jitted once, state donated) that
+  1. rolls the generator out over T steps (``lax.scan``),
+  2. computes D's loss/grads on real vs stop-gradient(fake) transitions and
+     applies D's Adam update,
+  3. computes G's adversarial + lambda*recon loss/grads against the *updated*
+     D params (sequential semantics — matches the reference's D-before-G
+     alternation, documented per SURVEY.md §8 hard-part 2) and applies G's
+     Adam update.
+
+Under data parallelism both grad sets and all metrics are ``pmean``-reduced
+over the ``data`` mesh axis inside the same trace (BASELINE.json: "single
+jitted update with data-parallel psum gradients").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.models import Discriminator, Generator
+from action_conditioned_gans_tpu.train import losses as L
+from action_conditioned_gans_tpu.train.rollout import rollout_generator, scheduled_sampling_prob
+from action_conditioned_gans_tpu.train.state import TrainState, make_optimizers
+
+Batch = Dict[str, jax.Array]
+
+
+def _fold_time(x: jax.Array) -> jax.Array:
+    """(B, T, ...) -> (B*T, ...) so D sees every transition as one large
+    batch (keeps the MXU fed instead of looping D over timesteps)."""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def make_train_step(cfg: Config, axis_name: Optional[str] = None):
+    """Build the fused step: (TrainState, Batch, rng) -> (TrainState, metrics).
+
+    Batch layout (the unified clip format from the data pipeline):
+      frames:  (B, T+1, H, W, C) in [-1, 1]
+      actions: (B, T, A)
+      states:  (B, T, S)   (only when cfg.model.state_dim > 0)
+    """
+    m, t = cfg.model, cfg.train
+    gen, disc = Generator(m), Discriminator(m)
+    g_tx, d_tx = make_optimizers(cfg)
+
+    def g_apply(params, frame, action, state):
+        return gen.apply({"params": params}, frame, action, state, axis_name=axis_name)
+
+    def d_apply(params, next_frame, frame, action, state):
+        return disc.apply(
+            {"params": params},
+            next_frame,
+            frame if m.d_condition_frame else None,
+            action if m.d_condition_action else None,
+            state,
+            axis_name=axis_name,
+        )
+
+    def _pmean(x):
+        return lax.pmean(x, axis_name) if axis_name is not None else x
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        frames = batch["frames"]
+        actions = batch["actions"]
+        states = batch.get("states") if m.state_dim else None
+        horizon = actions.shape[1]
+
+        rng = jax.random.fold_in(rng, state.step)
+        ss_prob = scheduled_sampling_prob(state.step, t)
+
+        def predict(g_params, key):
+            """(B, T, H, W, C) generator rollout."""
+            return rollout_generator(
+                g_apply, g_params, frames, actions, states, key, ss_prob
+            )
+
+        # Flattened (B*T, ...) transitions for the discriminator.
+        cond_frames = _fold_time(frames[:, :horizon])
+        real_next = _fold_time(frames[:, 1:])
+        flat_actions = _fold_time(actions)
+        flat_states = _fold_time(states) if states is not None else None
+
+        def d_loss_fn(d_params, fake_next):
+            real_logits = d_apply(d_params, real_next, cond_frames, flat_actions, flat_states)
+            fake_logits = d_apply(d_params, fake_next, cond_frames, flat_actions, flat_states)
+            loss = L.discriminator_loss(real_logits, fake_logits)
+            real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
+            return loss, (real_acc, fake_acc)
+
+        # --- D update(s). The generator rollout for D's side is
+        # stop-gradiented; with disc_steps > 1, D takes multiple Adam steps
+        # against the same fake batch (static unroll — reference alternates
+        # 1:1, SURVEY.md §4.1).
+        rng, gkey = jax.random.split(rng)
+        fake_for_d = lax.stop_gradient(_fold_time(predict(state.g_params, gkey)))
+        d_params, d_opt = state.d_params, state.d_opt
+        d_loss = jnp.zeros((), jnp.float32)
+        real_acc = fake_acc = jnp.zeros((), jnp.float32)
+        for _ in range(max(t.disc_steps, 1)):
+            (d_loss, (real_acc, fake_acc)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(d_params, fake_for_d)
+            d_grads = _pmean(d_grads)
+            d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+            d_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), d_params, d_updates
+            )
+
+        # --- G update against the freshly-updated D (sequential semantics).
+        def g_loss_fn(g_params):
+            preds = predict(g_params, gkey)  # same sampling path as D saw
+            fake_logits = d_apply(
+                d_params, _fold_time(preds), cond_frames, flat_actions, flat_states
+            )
+            adv = L.generator_adv_loss(fake_logits)
+            recon = L.reconstruction_loss(
+                _fold_time(preds), real_next, t.recon_type
+            )
+            return adv + t.recon_weight * recon, (adv, recon)
+
+        (g_loss, (g_adv, g_recon)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_grads = _pmean(g_grads)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), state.g_params, g_updates
+        )
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+        )
+        metrics = {
+            "d_loss": _pmean(d_loss),
+            "g_loss": _pmean(g_loss),
+            "g_adv": _pmean(g_adv),
+            "g_recon": _pmean(g_recon),
+            "d_real_acc": _pmean(real_acc),
+            "d_fake_acc": _pmean(fake_acc),
+            "ss_prob": ss_prob,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def jit_train_step(cfg: Config):
+    """Single-device jitted step with donated state (the config-1 CPU/1-chip
+    path; multi-device wrappers live in ``parallel/``)."""
+    step = make_train_step(cfg, axis_name=None)
+    return jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Driver benchmark: fused G+D train step at 64x64 (BASELINE.json metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N, ...}
+
+The reference publishes no numbers (BASELINE.json "published": {}), so
+``vs_baseline`` compares against this repo's own recorded first measurement
+in BENCH_BASELINE.json (created on first run); 1.0 until a prior record
+exists.
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_RECORD = os.path.join(REPO, "BENCH_BASELINE.json")
+
+# 64x64 single-step fused G+D (BASELINE.json config 1 geometry). Batch 64
+# rather than config 1's CPU-run batch 8 so one TPU chip's MXU is actually
+# fed; frames/sec/chip normalizes the difference away only partially, so the
+# batch is recorded alongside the metric.
+BENCH_BATCH = int(os.environ.get("ACGAN_BENCH_BATCH", "64"))
+BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "30"))
+
+
+def main() -> int:
+    import dataclasses
+
+    from action_conditioned_gans_tpu.bench import run_bench
+    from action_conditioned_gans_tpu.config import get_preset
+
+    cfg = get_preset("config1")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, batch_size=BENCH_BATCH)
+    )
+    stats = run_bench(cfg, steps=BENCH_STEPS)
+
+    value = stats["frames_per_sec_per_chip"]
+    vs = 1.0
+    if os.path.exists(BASELINE_RECORD):
+        try:
+            with open(BASELINE_RECORD) as f:
+                rec = json.load(f)
+            if rec.get("value"):
+                vs = value / rec["value"]
+        except Exception:
+            pass
+    else:
+        with open(BASELINE_RECORD, "w") as f:
+            json.dump(
+                {
+                    "value": value,
+                    "unit": "frames/sec/chip",
+                    "device": stats["device"],
+                    "batch": BENCH_BATCH,
+                    "note": "first recorded measurement; reference publishes none",
+                },
+                f,
+            )
+
+    out = {
+        "metric": "frames_per_sec_per_chip_fused_GD_step_64px",
+        "value": round(value, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs, 4),
+        "p50_step_latency_ms": round(stats["p50_step_latency_ms"], 3),
+        "batch": BENCH_BATCH,
+        "device": stats["device"],
+    }
+    if "roofline_utilization" in stats:
+        out["roofline_utilization"] = round(stats["roofline_utilization"], 4)
+        out["achieved_tflops_per_chip"] = round(stats["achieved_tflops_per_chip"], 2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

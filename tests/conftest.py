@@ -1,0 +1,24 @@
+"""Test harness: run everything on CPU with 8 virtual devices.
+
+This is the SURVEY.md §5.4 strategy — distributed tests without a cluster
+via ``--xla_force_host_platform_device_count=8``. Must run before jax is
+imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep CPU test runs deterministic and quiet.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+
+import jax  # noqa: E402
+
+# The env var alone does not win over an auto-registered TPU PJRT plugin
+# (e.g. the axon tunnel); the config knob does.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

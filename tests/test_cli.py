@@ -1,0 +1,61 @@
+"""CLI / config tests."""
+
+import pytest
+
+from action_conditioned_gans_tpu.cli import apply_overrides, build_parser, main
+from action_conditioned_gans_tpu.config import PRESETS, get_preset
+
+
+def test_presets_cover_baseline_configs():
+    # The five BASELINE.json benchmark configs, by construction.
+    assert set(PRESETS) == {f"config{i}" for i in range(1, 6)}
+    c1 = get_preset("config1")
+    assert (c1.model.image_size, c1.train.batch_size, c1.train.rollout_length) == (64, 8, 1)
+    c2 = get_preset("config2")
+    assert (c2.train.rollout_length, c2.train.batch_size) == (10, 16)
+    c3 = get_preset("config3")
+    assert (c3.model.image_size, c3.train.batch_size, c3.model.d_extra_layers) == (128, 32, 1)
+    c4 = get_preset("config4")
+    assert (c4.model.state_dim, c4.train.scheduled_sampling, c4.train.batch_size) == (3, True, 64)
+    c5 = get_preset("config5")
+    assert (c5.model.image_size, c5.train.rollout_length) == (256, 30)
+
+
+def test_get_preset_unknown():
+    with pytest.raises(KeyError):
+        get_preset("nope")
+
+
+def test_apply_overrides():
+    cfg = get_preset("config1")
+    cfg = apply_overrides(
+        cfg,
+        [
+            "train.batch_size=16",
+            "model.image_size=128",
+            "train.scheduled_sampling=true",
+            "workdir=/tmp/x",
+        ],
+    )
+    assert cfg.train.batch_size == 16
+    assert cfg.model.image_size == 128
+    assert cfg.train.scheduled_sampling is True
+    assert cfg.workdir == "/tmp/x"
+
+
+def test_apply_overrides_rejects_bad_key():
+    cfg = get_preset("config1")
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["train.batch_size"])
+
+
+def test_cli_configs_command(capsys):
+    assert main(["configs"]) == 0
+    out = capsys.readouterr().out
+    assert "config1" in out and "config5" in out
+
+
+def test_parser_accepts_all_commands():
+    p = build_parser()
+    for cmd in ("train", "sample", "eval", "bench", "configs"):
+        assert p.parse_args([cmd]).command == cmd

@@ -1,0 +1,143 @@
+"""Distributed tests without a cluster (SURVEY.md §5.4): 8 virtual CPU
+devices via --xla_force_host_platform_device_count (set in conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from action_conditioned_gans_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from action_conditioned_gans_tpu.data import generate_clips
+from action_conditioned_gans_tpu.parallel import (
+    make_dp_train_step,
+    make_gspmd_train_step,
+    make_mesh,
+    shard_batch,
+    tp_param_pspec,
+)
+from action_conditioned_gans_tpu.train import init_state
+from action_conditioned_gans_tpu.train.step import jit_train_step
+
+
+def tiny_config(batch_size=8, **mesh_kw) -> Config:
+    return Config(
+        name="tiny-dp",
+        model=ModelConfig(
+            image_size=16,
+            g_levels=2,
+            g_base_channels=8,
+            d_levels=2,
+            d_base_channels=8,
+            group_norm_groups=4,
+            compute_dtype="float32",
+        ),
+        data=DataConfig(seq_len=2),
+        train=TrainConfig(batch_size=batch_size),
+        mesh=MeshConfig(**mesh_kw) if mesh_kw else MeshConfig(),
+    )
+
+
+def make_batch(cfg, seed=0):
+    return generate_clips(
+        jax.random.PRNGKey(seed),
+        cfg.train.batch_size,
+        cfg.train.rollout_length + 1,
+        cfg.model.image_size,
+        cfg.model.action_dim,
+    )
+
+
+def test_eight_virtual_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_dp_step_matches_single_device():
+    """psum-reduced DP step == single-device step on the concatenated batch."""
+    cfg = tiny_config(batch_size=8)
+    mesh = make_mesh(cfg.mesh)
+    assert mesh.shape["data"] == 8
+
+    state_sd = init_state(cfg, jax.random.PRNGKey(0))
+    state_dp = init_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    new_sd, m_sd = jit_train_step(cfg)(state_sd, batch, rng)
+
+    dp_step = make_dp_train_step(cfg, mesh)
+    new_dp, m_dp = dp_step(state_dp, shard_batch(batch, mesh), rng)
+
+    # NOTE: per-example losses are means over the local shard then pmean'd —
+    # equal to the global mean since shards are equal-sized.
+    np.testing.assert_allclose(float(m_sd["d_loss"]), float(m_dp["d_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m_sd["g_loss"]), float(m_dp["g_loss"]), rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_sd.g_params),
+        jax.tree_util.tree_leaves(new_dp.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_dp_multiple_steps_stable():
+    cfg = tiny_config(batch_size=8)
+    mesh = make_mesh(cfg.mesh)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    dp_step = make_dp_train_step(cfg, mesh)
+    for i in range(3):
+        state, metrics = dp_step(state, shard_batch(make_batch(cfg, i), mesh), jax.random.PRNGKey(i))
+    assert int(state.step) == 3
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_gspmd_dp_tp_step_runs():
+    """4x2 dp x tp mesh: conv channels sharded over 'model', XLA inserts the
+    collectives; losses must match the single-device step."""
+    cfg = tiny_config(batch_size=8, data=4, model=2)
+    mesh = make_mesh(cfg.mesh)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    ref_state = init_state(cfg, jax.random.PRNGKey(0))
+    _, m_ref = jit_train_step(cfg)(ref_state, batch, rng)
+
+    step = make_gspmd_train_step(cfg, mesh, state)
+    new_state, metrics = step(state, batch, rng)
+    assert int(new_state.step) == 1
+    np.testing.assert_allclose(float(m_ref["g_loss"]), float(metrics["g_loss"]), rtol=2e-3)
+
+    # At least one conv kernel is actually sharded over the model axis.
+    shardings = jax.tree_util.tree_map(lambda x: x.sharding.spec, new_state.g_params)
+    specs = jax.tree_util.tree_leaves(shardings, is_leaf=lambda s: True)
+    assert any("model" in str(s) for s in map(str, specs))
+
+
+def test_tp_param_pspec_rules():
+    mk = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    assert tp_param_pspec(mk((4, 4, 8, 16)), "model", 2) == jax.sharding.PartitionSpec(
+        None, None, None, "model"
+    )
+    assert tp_param_pspec(mk((16,)), "model", 2) == jax.sharding.PartitionSpec("model")
+    # indivisible or tiny -> replicated
+    assert tp_param_pspec(mk((4, 4, 8, 3)), "model", 2) == jax.sharding.PartitionSpec()
+    assert tp_param_pspec(mk((3,)), "model", 2) == jax.sharding.PartitionSpec()
+    assert tp_param_pspec(mk((4, 4, 8, 16)), "model", 1) == jax.sharding.PartitionSpec()
+
+
+def test_sync_batchnorm_under_dp():
+    """'batch' norm psum-syncs moments: DP result == global-batch result."""
+    import dataclasses
+
+    cfg = tiny_config(batch_size=8)
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, norm="batch"))
+    mesh = make_mesh(cfg.mesh)
+
+    state_sd = init_state(cfg, jax.random.PRNGKey(0))
+    state_dp = init_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    _, m_sd = jit_train_step(cfg)(state_sd, batch, rng)
+    _, m_dp = make_dp_train_step(cfg, mesh)(state_dp, shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(float(m_sd["g_loss"]), float(m_dp["g_loss"]), rtol=2e-4)

@@ -1,0 +1,106 @@
+"""TFRecord pipeline tests (SURVEY.md §5.5): write a tiny BAIR-schema
+fixture, read it back, assert decode/normalize/pack semantics exactly."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from action_conditioned_gans_tpu.data.tfrecord import TFRecordClips, write_clips_tfrecord
+
+
+def make_fixture(path, n=4, t=6, hw=16, a=4, s=3, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(n, t, hw, hw, 3), dtype=np.uint8)
+    actions = rng.randn(n, t, a).astype(np.float32)
+    states = rng.randn(n, t, s).astype(np.float32)
+    write_clips_tfrecord(str(path), frames, actions, states)
+    return frames, actions, states
+
+
+def test_round_trip_decode_normalize(tmp_path):
+    path = tmp_path / "clips.tfrecord"
+    frames, actions, states = make_fixture(path)
+
+    ds = TFRecordClips(
+        data_dir=str(tmp_path),
+        batch=4,
+        seq_len=6,  # full clip -> window start is deterministic (0)
+        image_size=16,
+        clip_len=6,
+        raw_image_size=16,
+        shuffle_buffer=4,
+        seed=0,
+        repeat=False,
+    )
+    batch = ds.batch_at(0)
+    got_f = np.asarray(batch["frames"])
+    assert got_f.shape == (4, 6, 16, 16, 3)
+    assert batch["actions"].shape == (4, 5, 4)
+    assert batch["states"].shape == (4, 5, 3)
+
+    # Exact [0,1]->[-1,1] normalization of the stored uint8 frames; shuffle
+    # permutes clips, so match by multiset of per-clip sums.
+    expect = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
+    got_sums = sorted(float(x) for x in got_f.sum(axis=(1, 2, 3, 4)))
+    exp_sums = sorted(float(x) for x in expect.sum(axis=(1, 2, 3, 4)))
+    np.testing.assert_allclose(got_sums, exp_sums, rtol=1e-5)
+    assert got_f.min() >= -1.0 and got_f.max() <= 1.0
+
+
+def test_window_slicing_and_action_alignment(tmp_path):
+    path = tmp_path / "clips.tfrecord"
+    n, t = 2, 8
+    frames = np.zeros((n, t, 16, 16, 3), np.uint8)
+    # Encode the timestep index into the frame so the window start is
+    # recoverable: frame[t] is constant value 10*t.
+    for i in range(t):
+        frames[:, i] = 10 * i
+    actions = np.tile(
+        np.arange(t, dtype=np.float32)[None, :, None], (n, 1, 4)
+    )  # action[t] == t
+    states = np.zeros((n, t, 3), np.float32)
+    write_clips_tfrecord(str(path), frames, actions, states)
+
+    ds = TFRecordClips(
+        data_dir=str(tmp_path),
+        batch=2,
+        seq_len=3,
+        image_size=16,
+        clip_len=t,
+        raw_image_size=16,
+        shuffle_buffer=2,
+        seed=1,
+        repeat=True,
+    )
+    batch = ds.batch_at(0)
+    f = np.asarray(batch["frames"])
+    a = np.asarray(batch["actions"])
+    # Recover the window start from the first frame's encoded value.
+    val0 = (f[0, 0, 0, 0, 0] + 1) * 127.5
+    start = int(round(val0 / 10))
+    # Frames are consecutive and actions align with source frames.
+    val1 = (f[0, 1, 0, 0, 0] + 1) * 127.5
+    assert int(round(val1 / 10)) == start + 1
+    np.testing.assert_allclose(a[0, :, 0], [start, start + 1], atol=1e-5)
+
+
+def test_resize_path(tmp_path):
+    path = tmp_path / "clips.tfrecord"
+    make_fixture(path, hw=16)
+    ds = TFRecordClips(
+        data_dir=str(tmp_path),
+        batch=2,
+        seq_len=4,
+        image_size=8,  # downscale 16 -> 8
+        clip_len=6,
+        raw_image_size=16,
+        repeat=False,
+    )
+    batch = ds.batch_at(0)
+    assert np.asarray(batch["frames"]).shape == (2, 4, 8, 8, 3)
+
+
+def test_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        TFRecordClips(data_dir=str(tmp_path / "nope"), batch=1, seq_len=2, image_size=16)
