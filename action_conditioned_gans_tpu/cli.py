@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="SEC.FIELD=VAL",
         help="config override, repeatable",
     )
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize the multi-host JAX runtime (jax.distributed) — run "
+        "the same command on every host of the pod (config 5, v5e-16)",
+    )
     return p
 
 
@@ -77,6 +83,14 @@ def main(argv=None) -> int:
                 f"ss={c.train.scheduled_sampling}"
             )
         return 0
+
+    if args.multihost:
+        # Coordinator/process env comes from the TPU VM metadata (GCE) or
+        # JAX_COORDINATOR_ADDRESS et al.; collectives then span hosts over
+        # ICI/DCN exactly as they span chips within one host.
+        import jax
+
+        jax.distributed.initialize()
 
     cfg = get_preset(args.preset)
     if args.workdir:

@@ -111,6 +111,8 @@ class DataConfig:
     tfrecord_image_key: str = "image_aux1"
     # Raw stored frame size before crop/resize (BAIR stores 64x64).
     raw_image_size: int = 64
+    # Timesteps stored per TFRecord clip (BAIR stores 30).
+    clip_len: int = 30
 
 
 # ---------------------------------------------------------------------------
@@ -169,6 +171,13 @@ class TrainConfig:
     ss_end_prob: float = 1.0
     ss_decay_steps: int = 50_000
 
+    # Rematerialize each rollout scan step in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for HBM; required at T=30 @
+    # 256x256 (config 5).
+    remat_rollout: bool = False
+    # Debug config (SURVEY.md §6): surface NaNs at the op that produced them.
+    debug_nans: bool = False
+
     seed: int = 0
     log_every: int = 100
     checkpoint_every: int = 1000
@@ -204,7 +213,7 @@ PRESETS = {
     #    clips + 4-dim action (CPU ref run)"
     "config1": Config(
         name="config1",
-        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
+        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4, backend="pallas"),
         data=DataConfig(source="synthetic", seq_len=2),
         train=TrainConfig(batch_size=8, rollout_length=1),
     ),
@@ -212,7 +221,7 @@ PRESETS = {
     #    generator, batch 16"
     "config2": Config(
         name="config2",
-        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
+        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4, backend="pallas"),
         data=DataConfig(source="synthetic", seq_len=11),
         train=TrainConfig(batch_size=16, rollout_length=10),
     ),
@@ -221,7 +230,7 @@ PRESETS = {
     "config3": Config(
         name="config3",
         model=ModelConfig(
-            image_size=128, action_dim=4, g_levels=4, d_levels=5, d_extra_layers=1
+            image_size=128, action_dim=4, g_levels=4, d_levels=5, d_extra_layers=1, backend="pallas"
         ),
         data=DataConfig(source="synthetic", seq_len=2),
         train=TrainConfig(batch_size=32, rollout_length=1),
@@ -231,7 +240,7 @@ PRESETS = {
     #    batch 64"
     "config4": Config(
         name="config4",
-        model=ModelConfig(image_size=64, action_dim=4, state_dim=3, g_levels=3, d_levels=4),
+        model=ModelConfig(image_size=64, action_dim=4, state_dim=3, g_levels=3, d_levels=4, backend="pallas"),
         data=DataConfig(source="synthetic", seq_len=11),
         train=TrainConfig(
             batch_size=64,
@@ -248,10 +257,10 @@ PRESETS = {
     "config5": Config(
         name="config5",
         model=ModelConfig(
-            image_size=256, action_dim=4, g_levels=5, d_levels=6, d_extra_layers=1
+            image_size=256, action_dim=4, g_levels=5, d_levels=6, d_extra_layers=1, backend="pallas"
         ),
         data=DataConfig(source="synthetic", seq_len=31),
-        train=TrainConfig(batch_size=32, rollout_length=30),
+        train=TrainConfig(batch_size=32, rollout_length=30, remat_rollout=True),
         mesh=MeshConfig(data=-1, model=1),
     ),
 }

@@ -1,0 +1,307 @@
+"""TensorFlow-free TFRecord clip reader backed by the native C++ library
+(``native/tfrecord_io.cc``) via ctypes.
+
+Same batch contract as ``data.tfrecord.TFRecordClips`` (frames (B, T, H, W,
+C) in [-1, 1], actions, states) but with zero TensorFlow dependency: record
+framing + CRC32C + tf.train.Example parsing happen in C++, decode/normalize
+in numpy. ``source="tfrecord_native"`` in DataConfig selects it.
+
+Also provides a pure-Python tf.train.Example *encoder* (protobuf wire
+format) so fixtures and data-prep can write records without TF either.
+
+The library is compiled on first use (``make -C native``) and cached; if no
+C++ toolchain is available the import raises and callers fall back to the
+tf.data path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Dict, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libacgan_tfrecord.so"))
+_lib = None
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.acgan_reader_open.restype = ctypes.c_void_p
+    lib.acgan_reader_open.argtypes = [ctypes.c_char_p]
+    lib.acgan_reader_next.restype = ctypes.c_long
+    lib.acgan_reader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.acgan_reader_close.argtypes = [ctypes.c_void_p]
+    lib.acgan_writer_open.restype = ctypes.c_void_p
+    lib.acgan_writer_open.argtypes = [ctypes.c_char_p]
+    lib.acgan_writer_write.restype = ctypes.c_int
+    lib.acgan_writer_write.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.acgan_writer_close.argtypes = [ctypes.c_void_p]
+    lib.acgan_parse_clip.restype = ctypes.c_int
+    lib.acgan_parse_clip.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python tf.train.Example encoder (write side).
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _bytes_feature(value: bytes) -> bytes:
+    return _len_delim(1, _len_delim(1, value))  # Feature{bytes_list{value}}
+
+
+def _float_feature(values) -> bytes:
+    packed = struct.pack(f"<{len(values)}f", *values)
+    return _len_delim(2, _len_delim(1, packed))  # Feature{float_list{packed}}
+
+
+def encode_example(features: Dict[str, object]) -> bytes:
+    """features: key -> bytes (BytesList) or sequence of floats (FloatList)."""
+    entries = b""
+    for key, val in features.items():
+        feat = (
+            _bytes_feature(val)
+            if isinstance(val, (bytes, bytearray))
+            else _float_feature(list(val))
+        )
+        entry = _len_delim(1, key.encode()) + _len_delim(2, feat)
+        entries += _len_delim(1, entry)
+    return _len_delim(1, entries)  # Example{features{...}}
+
+
+def write_clips_tfrecord_native(
+    path: str,
+    frames: np.ndarray,  # (N, T, H, W, 3) uint8 or [-1,1] float
+    actions: np.ndarray,
+    states: np.ndarray,
+    image_key: str = "image_aux1",
+) -> None:
+    """BAIR-schema writer with zero TF dependency (native framing + pure-
+    Python Example encoding). Byte-compatible with data.tfrecord's TF writer."""
+    lib = load_library()
+    if frames.dtype != np.uint8:
+        frames = np.round((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    w = lib.acgan_writer_open(path.encode())
+    if not w:
+        raise OSError(f"cannot open {path}")
+    try:
+        for n in range(frames.shape[0]):
+            feats: Dict[str, object] = {}
+            for t in range(frames.shape[1]):
+                feats[f"{t}/{image_key}/encoded"] = frames[n, t].tobytes()
+                feats[f"{t}/action"] = actions[n, t].tolist()
+                feats[f"{t}/endeffector_pos"] = states[n, t].tolist()
+            payload = encode_example(feats)
+            if lib.acgan_writer_write(w, payload, len(payload)) != 0:
+                raise OSError(f"short write to {path}")
+    finally:
+        lib.acgan_writer_close(w)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+def read_clips(
+    path: str,
+    n_steps: int,
+    height: int,
+    width: int,
+    action_dim: int = 4,
+    state_dim: int = 3,
+    image_key: str = "image_aux1",
+    channels: int = 3,
+):
+    """Yield (frames_u8 (T,H,W,C), actions (T,A), states (T,S)) per record."""
+    lib = load_library()
+    r = lib.acgan_reader_open(path.encode())
+    if not r:
+        raise FileNotFoundError(path)
+    frame_bytes = height * width * channels
+    try:
+        while True:
+            data = ctypes.POINTER(ctypes.c_uint8)()
+            n = lib.acgan_reader_next(r, ctypes.byref(data))
+            if n == 0:
+                return
+            if n < 0:
+                raise IOError(f"corrupt TFRecord framing in {path}")
+            frames = np.empty((n_steps, height, width, channels), np.uint8)
+            actions = np.empty((n_steps, action_dim), np.float32)
+            states = np.empty((n_steps, max(state_dim, 1)), np.float32)
+            rc = lib.acgan_parse_clip(
+                data,
+                n,
+                n_steps,
+                image_key.encode(),
+                frame_bytes,
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                actions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                action_dim,
+                states.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                state_dim,
+            )
+            if rc != 0:
+                raise ValueError(
+                    f"record in {path} missing timestep {-rc - 1} "
+                    f"(schema/shape mismatch)"
+                )
+            yield frames, actions, states[:, :state_dim]
+    finally:
+        lib.acgan_reader_close(r)
+
+
+class NativeTFRecordClips:
+    """Streaming clip batches from BAIR-schema TFRecords, TF-free.
+
+    Same contract as data.tfrecord.TFRecordClips: batch_at(i) is
+    stream-ordered; a seeded RNG picks the seq_len window per clip.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        batch: int,
+        seq_len: int,
+        image_size: int,
+        action_dim: int = 4,
+        state_dim: int = 3,
+        clip_len: int = 30,
+        image_key: str = "image_aux1",
+        raw_image_size: int = 64,
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        repeat: bool = True,
+        out_shardings=None,
+    ):
+        import glob
+
+        pattern = (
+            data_dir
+            if any(ch in os.path.basename(data_dir) for ch in "*?[")
+            else os.path.join(data_dir, "*.tfrecord*")
+        )
+        files = sorted(glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f"no TFRecord files match {pattern}")
+        self._files = files[host_id::num_hosts]
+        self.batch = batch
+        self.seq_len = seq_len
+        self.image_size = image_size
+        self.action_dim = action_dim
+        self.state_dim = state_dim
+        self.clip_len = clip_len
+        self.image_key = image_key
+        self.raw_image_size = raw_image_size
+        self.repeat = repeat
+        self._rng = np.random.RandomState(seed)
+        self._out_shardings = out_shardings
+        self._gen = None
+
+    def _records(self):
+        while True:
+            for f in self._files:
+                yield from read_clips(
+                    f,
+                    self.clip_len,
+                    self.raw_image_size,
+                    self.raw_image_size,
+                    self.action_dim,
+                    self.state_dim,
+                    self.image_key,
+                )
+            if not self.repeat:
+                return
+
+    def _resize(self, frames_f: np.ndarray) -> np.ndarray:
+        """Nearest-neighbor host resize (eval/ingest only; model-resolution
+        training data should be stored at the right size or resized on
+        device)."""
+        if self.image_size == self.raw_image_size:
+            return frames_f
+        idx = (
+            np.arange(self.image_size) * self.raw_image_size // self.image_size
+        )
+        return frames_f[:, idx][:, :, idx]
+
+    def batch_at(self, index) -> Dict[str, object]:
+        del index  # stream-ordered, like the tf.data reader
+        import jax
+
+        if self._gen is None:
+            self._gen = self._records()
+        fs, as_, ss = [], [], []
+        for _ in range(self.batch):
+            frames_u8, actions, states = next(self._gen)
+            max_start = self.clip_len - self.seq_len
+            s = self._rng.randint(0, max_start + 1) if max_start > 0 else 0
+            f = frames_u8[s : s + self.seq_len].astype(np.float32) / 255.0 * 2 - 1
+            fs.append(self._resize(f))
+            as_.append(actions[s : s + self.seq_len - 1])
+            ss.append(states[s : s + self.seq_len - 1])
+        out = {
+            "frames": np.stack(fs),
+            "actions": np.stack(as_),
+            "states": np.stack(ss),
+        }
+        if self._out_shardings is not None:
+            return {
+                k: jax.device_put(v, self._out_shardings[k]) for k, v in out.items()
+            }
+        return {k: jax.numpy.asarray(v) for k, v in out.items()}
+
+    def __iter__(self):
+        i = 0
+        while True:
+            yield self.batch_at(i)
+            i += 1

@@ -45,8 +45,28 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
             image_size=m.image_size,
             action_dim=m.action_dim,
             state_dim=m.state_dim or 3,
+            clip_len=d.clip_len,
             image_key=d.tfrecord_image_key,
+            raw_image_size=d.raw_image_size,
             shuffle_buffer=d.shuffle_buffer,
+            seed=t.seed,
+            host_id=host_id,
+            num_hosts=num_hosts,
+            out_shardings=out_shardings,
+        )
+    if d.source == "tfrecord_native":
+        from action_conditioned_gans_tpu.data import native_tfrecord
+
+        return native_tfrecord.NativeTFRecordClips(
+            data_dir=d.data_dir,
+            batch=t.batch_size,
+            seq_len=seq_len,
+            image_size=m.image_size,
+            action_dim=m.action_dim,
+            state_dim=m.state_dim or 3,
+            clip_len=d.clip_len,
+            image_key=d.tfrecord_image_key,
+            raw_image_size=d.raw_image_size,
             seed=t.seed,
             host_id=host_id,
             num_hosts=num_hosts,

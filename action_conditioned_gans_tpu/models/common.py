@@ -59,20 +59,19 @@ class ConvBlock(nn.Module):
             (self.kernel, self.kernel, in_ch, self.features),
             jnp.float32,
         )
-        if self.transpose:
-            y = ops.conv2d_transpose(x, w, stride=self.stride, backend=self.backend)
-        else:
-            y = ops.conv2d(x, w, stride=self.stride, backend=self.backend)
         scale = (
             self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             if self.norm != "none"
             else None
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return ops.norm_act(
-            y,
+        return ops.conv_norm_act(
+            x,
+            w,
             scale,
             bias,
+            stride=self.stride,
+            transpose=self.transpose,
             kind=self.norm,
             groups=self.groups,
             act=self.act,

@@ -15,6 +15,7 @@ All image tensors are NHWC (TPU-native layout); conv kernels are HWIO.
 from action_conditioned_gans_tpu.ops.api import (
     conv2d,
     conv2d_transpose,
+    conv_norm_act,
     dense,
     leaky_relu,
     norm_act,
@@ -25,6 +26,7 @@ from action_conditioned_gans_tpu.ops.api import (
 __all__ = [
     "conv2d",
     "conv2d_transpose",
+    "conv_norm_act",
     "dense",
     "leaky_relu",
     "norm_act",

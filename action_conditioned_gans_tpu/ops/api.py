@@ -76,9 +76,11 @@ def norm_act(
     backend=None,
 ) -> jax.Array:
     if _resolve(backend) == "pallas" and kind == "group" and axis_name is None:
-        return _pallas().group_norm_act(
-            x, scale, bias, groups=groups, eps=eps, act=act, leak=leak
-        )
+        p = _pallas()
+        if p.group_norm_act_supported(x, groups):
+            return p.group_norm_act(
+                x, scale, bias, groups=groups, eps=eps, act=act, leak=leak
+            )
     return _xla.norm_act(
         x,
         scale,
@@ -89,4 +91,64 @@ def norm_act(
         act=act,
         leak=leak,
         axis_name=axis_name,
+    )
+
+
+def conv_norm_act(
+    x,
+    w,
+    scale,
+    bias,
+    *,
+    stride=1,
+    transpose=False,
+    kind="group",
+    groups=32,
+    eps=1e-5,
+    act="lrelu",
+    leak=0.2,
+    axis_name=None,
+    backend=None,
+) -> jax.Array:
+    """The fused conv(+transpose) -> norm -> activation block — the hot op of
+    both models (BASELINE.json: "fused Pallas conv+norm+activation kernels").
+
+    The pallas backend fuses the whole block into one kernel when the shapes
+    qualify (per-sample conv output resident in VMEM); anything else falls
+    back to conv + fused norm_act, then to plain XLA.
+    """
+    if (
+        _resolve(backend) == "pallas"
+        and axis_name is None
+        and not transpose
+    ):
+        p = _pallas()
+        if p.conv_norm_act_supported(x, w, stride, kind, groups):
+            return p.conv_norm_act(
+                x,
+                w,
+                scale,
+                bias,
+                stride=stride,
+                kind=kind,
+                groups=groups,
+                eps=eps,
+                act=act,
+                leak=leak,
+            )
+    if transpose:
+        y = conv2d_transpose(x, w, stride=stride, backend=backend)
+    else:
+        y = conv2d(x, w, stride=stride, backend=backend)
+    return norm_act(
+        y,
+        scale,
+        bias,
+        kind=kind,
+        groups=groups,
+        eps=eps,
+        act=act,
+        leak=leak,
+        axis_name=axis_name,
+        backend=backend,
     )

@@ -1,0 +1,207 @@
+"""Fused conv -> GroupNorm -> activation Pallas kernel.
+
+Strategy (one grid program per sample):
+  * stride 1: SAME-pad on the host; the kernel accumulates k*k unit-stride
+    shifted matmuls ``acc += x[dy:dy+OH, dx:dx+OW] @ w[dy, dx]`` on the MXU.
+  * stride 2 (the workhorse k=4 s=2 stages): space-to-depth the padded input
+    on the host (2x2 blocks -> channels) and rearrange the kernel to an
+    equivalent k'=2, stride-1 conv — inside the kernel everything is
+    unit-stride, which Mosaic tiles cleanly.
+  * epilogue: GroupNorm statistics + affine + activation run on the conv
+    output while it is still VMEM-resident, so the whole ConvBlock costs one
+    HBM read and one write.
+
+The XLA composite (``ops.xla.conv2d`` + ``ops.xla.norm_act``) is the
+numerical oracle (parity ≤ 1e-3) and the gradient implementation (custom
+VJP), and the permanent fallback for shapes the VMEM budget rejects.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from action_conditioned_gans_tpu.ops import xla as _xla
+from action_conditioned_gans_tpu.ops.pallas.common import (
+    VMEM_BUDGET,
+    apply_act,
+    group_norm_epilogue,
+    interpret_mode,
+    resolve_groups,
+)
+
+
+def _same_pad(h: int, k: int, s: int) -> tuple:
+    oh = -(-h // s)
+    total = max((oh - 1) * s + k - h, 0)
+    return oh, total // 2, total - total // 2
+
+
+def _plan(x_shape, w_shape, stride):
+    """Static lowering plan; None if this shape combination is unsupported."""
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return None
+    b, h, w, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    if wcin != cin or kh != kw or stride not in (1, 2):
+        return None
+    k = kh
+    oh, plo, phi = _same_pad(h, k, stride)
+    ow, qlo, qhi = _same_pad(w, k, stride)
+    if stride == 2:
+        if k % 2 or (h + plo + phi) % 2 or (w + qlo + qhi) % 2:
+            return None
+        kk, cin_eff = k // 2, cin * 4
+        hp, wp = (h + plo + phi) // 2, (w + qlo + qhi) // 2
+    else:
+        kk, cin_eff = k, cin
+        hp, wp = h + plo + phi, w + qlo + qhi
+    if hp - kk + 1 < oh or wp - kk + 1 < ow:
+        return None
+    # VMEM working set per program (double-buffered pipeline => x2).
+    in_bytes = hp * wp * cin_eff * 4
+    slice_bytes = oh * ow * cin_eff * 4
+    acc_bytes = oh * ow * cout * 4
+    w_bytes = kk * kk * cin_eff * cout * 4
+    if 2 * (in_bytes + slice_bytes + acc_bytes + w_bytes) > VMEM_BUDGET:
+        return None
+    return dict(
+        b=b, oh=oh, ow=ow, cout=cout, kk=kk, cin_eff=cin_eff,
+        hp=hp, wp=wp, pads=(plo, phi, qlo, qhi), k=k, stride=stride,
+    )
+
+
+def conv_norm_act_supported(x, w, stride, kind, groups) -> bool:
+    if kind not in ("group", "none"):
+        return False
+    return _plan(x.shape, w.shape, stride) is not None
+
+
+def _prepare_inputs(x, w, plan):
+    """Host-side pad (+ space-to-depth for stride 2) and weight flatten."""
+    plo, phi, qlo, qhi = plan["pads"]
+    k, kk, stride = plan["k"], plan["kk"], plan["stride"]
+    cin, cout = w.shape[2], w.shape[3]
+    xp = jnp.pad(x, ((0, 0), (plo, phi), (qlo, qhi), (0, 0)))
+    if stride == 2:
+        b, hp2, wp2, _ = xp.shape
+        xp = xp.reshape(b, hp2 // 2, 2, wp2 // 2, 2, cin)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp2 // 2, wp2 // 2, 4 * cin)
+        # w[2dy'+py, 2dx'+px, ci, co] -> w2[dy', dx', (py*2+px)*cin + ci, co]
+        w2 = w.reshape(kk, 2, kk, 2, cin, cout)
+        w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(kk, kk, 4 * cin, cout)
+    else:
+        w2 = w
+    wf = w2.reshape(kk * kk * plan["cin_eff"], cout).astype(x.dtype)
+    return xp, wf
+
+
+def _kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, *, plan, kind, groups, eps, act, leak):
+    oh, ow, cout = plan["oh"], plan["ow"], plan["cout"]
+    kk, ce = plan["kk"], plan["cin_eff"]
+    x = x_ref[0]  # (hp, wp, cin_eff)
+    acc = jnp.zeros((oh * ow, cout), jnp.float32)
+    for dy in range(kk):
+        for dx in range(kk):
+            sl = x[dy : dy + oh, dx : dx + ow, :].reshape(oh * ow, ce)
+            wp = w_ref[(dy * kk + dx) * ce : (dy * kk + dx + 1) * ce, :]
+            acc += jnp.dot(sl, wp, preferred_element_type=jnp.float32)
+
+    if kind == "group":
+        y = group_norm_epilogue(acc, scale_ref[:], bias_ref[:], groups, eps)
+    else:
+        y = acc + bias_ref[0].astype(jnp.float32)
+    o_ref[0] = apply_act(y, act, leak).reshape(oh, ow, cout).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fn(stride: int, kind: str, groups: int, eps: float, act: str, leak: float):
+    def fwd_pallas(x, w, scale, bias):
+        plan = _plan(x.shape, w.shape, stride)
+        assert plan is not None, "conv_norm_act_supported must gate this call"
+        g = resolve_groups(plan["cout"], groups) if kind == "group" else groups
+        xp, wf = _prepare_inputs(x, w, plan)
+        b, hp, wp_, ce = xp.shape
+        cout = plan["cout"]
+        kern = functools.partial(
+            _kernel, plan=plan, kind=kind, groups=g, eps=eps, act=act, leak=leak
+        )
+        scale2 = (scale if scale is not None else jnp.ones((cout,), jnp.float32)).reshape(1, cout)
+        bias2 = (bias if bias is not None else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+        out = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hp, wp_, ce), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(wf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, plan["oh"], plan["ow"], cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, plan["oh"], plan["ow"], cout), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * plan["oh"] * plan["ow"] * plan["kk"] ** 2 * ce * cout,
+                bytes_accessed=xp.size * xp.dtype.itemsize
+                + wf.size * wf.dtype.itemsize
+                + b * plan["oh"] * plan["ow"] * cout * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret_mode(),
+        )(xp, wf, scale2, bias2)
+        return out
+
+    def oracle(x, w, scale, bias):
+        y = _xla.conv2d(x, w, stride=stride)
+        return _xla.norm_act(
+            y, scale, bias, kind=kind, groups=groups, eps=eps, act=act, leak=leak
+        )
+
+    @jax.custom_vjp
+    def fused(x, w, scale, bias):
+        return fwd_pallas(x, w, scale, bias)
+
+    def fused_fwd(x, w, scale, bias):
+        return fwd_pallas(x, w, scale, bias), (x, w, scale, bias)
+
+    def fused_bwd(res, g_out):
+        x, w, scale, bias = res
+        _, vjp = jax.vjp(oracle, x, w, scale, bias)
+        return vjp(g_out)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def conv_norm_act(
+    x, w, scale, bias, *, stride=1, kind="group", groups=32, eps=1e-5, act="lrelu", leak=0.2
+) -> jax.Array:
+    fn = _make_fn(stride, kind, groups, float(eps), act, float(leak))
+    cout = w.shape[-1]
+    if scale is None and kind == "group":
+        scale = jnp.ones((cout,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    if scale is None:  # kind == "none": scale unused but keep arity static
+        scale = jnp.ones((cout,), jnp.float32)
+    return fn(x, w, scale, bias)
+
+
+def conv2d(x, w, *, stride=1, padding="SAME") -> jax.Array:
+    """Standalone pallas conv (bias-free, no activation). Falls back to XLA
+    off the supported envelope or for non-SAME padding."""
+    if padding == "SAME" and conv_norm_act_supported(x, w, stride, "none", 1):
+        return conv_norm_act(x, w, None, None, stride=stride, kind="none", act="none")
+    return _xla.conv2d(x, w, stride=stride, padding=padding)
+
+
+def conv2d_transpose(x, w, *, stride=2, padding="SAME") -> jax.Array:
+    """Conv-transpose stays on the XLA path for now: XLA lowers it to one
+    input-dilated conv on the MXU already; the fused-epilogue win is captured
+    by the pallas ``group_norm_act`` that follows it (see ops.api)."""
+    return _xla.conv2d_transpose(x, w, stride=stride, padding=padding)

@@ -10,6 +10,7 @@ plus orbax checkpointing and metric/latency accounting.
 from __future__ import annotations
 
 import os
+import signal
 from typing import Optional
 
 import jax
@@ -57,6 +58,8 @@ def train(
     workdir = workdir or cfg.workdir
     os.makedirs(workdir, exist_ok=True)
     t = cfg.train
+    if t.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     total = max_steps if max_steps is not None else t.total_steps
 
     mesh, state, step_fn = build_step_and_state(cfg)
@@ -79,6 +82,15 @@ def train(
     writer = MetricWriter(os.path.join(workdir, "tb"))
     rng = jax.random.PRNGKey(t.seed + 1)
 
+    # Preemption handling (SURVEY.md §6): TPU VMs get SIGTERM before
+    # reclamation; checkpoint-and-exit so the next incarnation resumes.
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
     metrics = {}
     for i in range(start, total):
         batch = dataset.batch_at(i)
@@ -89,6 +101,12 @@ def train(
         writer.tick()
         if (i + 1) % t.checkpoint_every == 0:
             ckpt.save(i + 1, jax.device_get(state))
+        if preempted["flag"]:
+            print(f"[acgan] SIGTERM received: checkpointing at step {i + 1} and exiting")
+            ckpt.save(i + 1, jax.device_get(state), force=True)
+            break
+
+    signal.signal(signal.SIGTERM, prev_handler)
 
     if total > start and ckpt.latest_step() != total:
         ckpt.save(total, jax.device_get(state), force=True)

@@ -41,12 +41,18 @@ def rollout_generator(
     states: Optional[jax.Array],  # (B, T, S) or None
     rng: jax.Array,
     ss_prob: jax.Array,  # scalar in [0, 1]
+    remat: bool = False,
 ) -> jax.Array:
     """Unroll the generator T steps; returns predictions (B, T, H, W, C).
 
     Step t conditions on a mix of ground-truth frame t and the step-(t-1)
     prediction (per-example Bernoulli(ss_prob); step 0 always sees ground
     truth because the carry is initialized to frame 0).
+
+    ``remat=True`` rematerializes each scan step in the backward pass
+    (``jax.checkpoint``), trading FLOPs for HBM: required for the T=30 @
+    256x256 long-horizon config (BASELINE.json config 5), where storing all
+    per-step conv activations would exceed per-chip HBM.
     """
     b, tp1 = frames.shape[:2]
     t = tp1 - 1
@@ -72,5 +78,6 @@ def rollout_generator(
         if states_tm is None
         else (frames_tm, actions_tm, states_tm, keys)
     )
-    _, preds = lax.scan(step, frames[:, 0], xs)
+    step_fn = jax.checkpoint(step) if remat else step
+    _, preds = lax.scan(step_fn, frames[:, 0], xs)
     return jnp.moveaxis(preds, 0, 1)  # (B, T, H, W, C)

@@ -45,15 +45,45 @@ def make_rollout_fn(cfg: Config):
     return jax.jit(fn)
 
 
+def _ssim(p: np.ndarray, t: np.ndarray, window: int = 8) -> float:
+    """Mean SSIM over non-overlapping window x window patches ([-1,1] data,
+    dynamic range 2). Host-side eval metric, never on the training path."""
+    c1, c2 = (0.01 * 2) ** 2, (0.03 * 2) ** 2
+    h, w = p.shape[-3], p.shape[-2]
+    hh, ww = h - h % window, w - w % window
+    # (..., nH, win, nW, win, C) patch view
+    def patches(x):
+        x = x[..., :hh, :ww, :]
+        s = x.shape
+        return x.reshape(
+            s[:-3] + (hh // window, window, ww // window, window, s[-1])
+        )
+    pp, tt = patches(p), patches(t)
+    ax = (-4, -2)
+    mu_p, mu_t = pp.mean(ax), tt.mean(ax)
+    var_p, var_t = pp.var(ax), tt.var(ax)
+    cov = (pp * tt).mean(ax) - mu_p * mu_t
+    ssim = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
+        (mu_p**2 + mu_t**2 + c1) * (var_p + var_t + c2)
+    )
+    return float(ssim.mean())
+
+
 def eval_metrics(preds: jax.Array, targets: jax.Array) -> Dict[str, float]:
-    """L2 / L1 / PSNR between predicted and ground-truth frames ([-1, 1])."""
+    """L2 / L1 / PSNR / SSIM between predicted and ground-truth frames
+    ([-1, 1])."""
     p = np.asarray(preds, np.float32)
     t = np.asarray(targets, np.float32)
     mse = float(np.mean((p - t) ** 2))
     l1 = float(np.mean(np.abs(p - t)))
     # PSNR on the [0, 1] scale (peak = 1 after the /2 denorm).
     psnr = float(10 * np.log10(4.0 / max(mse, 1e-12)))
-    return {"eval_l2": mse, "eval_l1": l1, "eval_psnr": psnr}
+    return {
+        "eval_l2": mse,
+        "eval_l1": l1,
+        "eval_psnr": psnr,
+        "eval_ssim": _ssim(p, t),
+    }
 
 
 def sample(

@@ -79,7 +79,14 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         def predict(g_params, key):
             """(B, T, H, W, C) generator rollout."""
             return rollout_generator(
-                g_apply, g_params, frames, actions, states, key, ss_prob
+                g_apply,
+                g_params,
+                frames,
+                actions,
+                states,
+                key,
+                ss_prob,
+                remat=t.remat_rollout,
             )
 
         # Flattened (B*T, ...) transitions for the discriminator.

@@ -23,6 +23,8 @@ BASELINE_RECORD = os.path.join(REPO, "BENCH_BASELINE.json")
 # batch is recorded alongside the metric.
 BENCH_BATCH = int(os.environ.get("ACGAN_BENCH_BATCH", "64"))
 BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "30"))
+# Kernel backend: "xla" or "pallas" (fused Pallas conv/norm kernels).
+BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "pallas")
 
 
 def main() -> int:
@@ -33,7 +35,9 @@ def main() -> int:
 
     cfg = get_preset("config1")
     cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, batch_size=BENCH_BATCH)
+        cfg,
+        train=dataclasses.replace(cfg.train, batch_size=BENCH_BATCH),
+        model=dataclasses.replace(cfg.model, backend=BENCH_BACKEND),
     )
     stats = run_bench(cfg, steps=BENCH_STEPS)
 

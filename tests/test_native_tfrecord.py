@@ -1,0 +1,122 @@
+"""Native (TF-free) TFRecord I/O tests: C++ framing/CRC/Example parsing via
+ctypes, cross-compatibility with the TensorFlow writer, corruption
+detection."""
+
+import numpy as np
+import pytest
+
+try:
+    from action_conditioned_gans_tpu.data.native_tfrecord import (
+        NativeTFRecordClips,
+        load_library,
+        read_clips,
+        write_clips_tfrecord_native,
+    )
+
+    load_library()
+    HAVE_NATIVE = True
+except Exception:  # no toolchain in this environment
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native lib unavailable")
+
+
+def fixture_arrays(n=3, t=6, hw=16, a=4, s=3, seed=0):
+    rng = np.random.RandomState(seed)
+    frames = rng.randint(0, 256, size=(n, t, hw, hw, 3), dtype=np.uint8)
+    actions = rng.randn(n, t, a).astype(np.float32)
+    states = rng.randn(n, t, s).astype(np.float32)
+    return frames, actions, states
+
+
+def test_native_write_native_read_round_trip(tmp_path):
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays()
+    write_clips_tfrecord_native(path, frames, actions, states)
+
+    got = list(read_clips(path, n_steps=6, height=16, width=16))
+    assert len(got) == 3
+    for i, (f, a, s) in enumerate(got):
+        np.testing.assert_array_equal(f, frames[i])
+        np.testing.assert_allclose(a, actions[i], rtol=1e-6)
+        np.testing.assert_allclose(s, states[i], rtol=1e-6)
+
+
+def test_tf_writer_native_reader_compat(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from action_conditioned_gans_tpu.data.tfrecord import write_clips_tfrecord
+
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(seed=1)
+    write_clips_tfrecord(path, frames, actions, states)  # TF writer
+    got = list(read_clips(path, n_steps=6, height=16, width=16))  # native reader
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[0][0], frames[0])
+    np.testing.assert_allclose(got[1][1], actions[1], rtol=1e-6)
+
+
+def test_native_writer_tf_reader_compat(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from action_conditioned_gans_tpu.data.tfrecord import TFRecordClips
+
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(seed=2, n=4)
+    write_clips_tfrecord_native(path, frames, actions, states)
+    ds = TFRecordClips(
+        data_dir=str(tmp_path),
+        batch=4,
+        seq_len=6,
+        image_size=16,
+        clip_len=6,
+        raw_image_size=16,
+        repeat=False,
+    )
+    batch = ds.batch_at(0)
+    assert np.asarray(batch["frames"]).shape == (4, 6, 16, 16, 3)
+
+
+def test_corruption_detected(tmp_path):
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(n=1)
+    write_clips_tfrecord_native(path, frames, actions, states)
+    raw = bytearray(open(path, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        list(read_clips(path, n_steps=6, height=16, width=16))
+
+
+def test_native_clips_batch_contract(tmp_path):
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(n=4, t=8)
+    write_clips_tfrecord_native(path, frames, actions, states)
+    ds = NativeTFRecordClips(
+        data_dir=str(tmp_path),
+        batch=2,
+        seq_len=3,
+        image_size=16,
+        clip_len=8,
+        raw_image_size=16,
+        seed=0,
+    )
+    b = ds.batch_at(0)
+    f = np.asarray(b["frames"])
+    assert f.shape == (2, 3, 16, 16, 3)
+    assert np.asarray(b["actions"]).shape == (2, 2, 4)
+    assert np.asarray(b["states"]).shape == (2, 2, 3)
+    assert f.min() >= -1.0 and f.max() <= 1.0
+    # normalization matches the TF path exactly (full-length window => the
+    # random window start is forced to 0)
+    ds_full = NativeTFRecordClips(
+        data_dir=str(tmp_path),
+        batch=1,
+        seq_len=8,
+        image_size=16,
+        clip_len=8,
+        raw_image_size=16,
+        seed=0,
+    )
+    f_full = np.asarray(ds_full.batch_at(0)["frames"])
+    np.testing.assert_allclose(
+        f_full[0, 0], frames[0, 0].astype(np.float32) / 255.0 * 2 - 1, rtol=1e-6
+    )
