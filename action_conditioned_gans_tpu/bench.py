@@ -81,16 +81,27 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
         state, metrics = step_fn(state, dataset.batch_at(i), rng)
     jax.block_until_ready(metrics)
 
-    latencies = []
-    for i in range(warmup, warmup + steps):
-        batch = dataset.batch_at(i)
-        jax.block_until_ready(batch)
-        t0 = time.perf_counter()
-        state, metrics = step_fn(state, batch, rng)
-        jax.block_until_ready(metrics)
-        latencies.append(time.perf_counter() - t0)
+    # Timing methodology: windowed throughput, NOT per-step blocking.
+    # Per-step block_until_ready can return at the dispatch floor on
+    # remote/tunneled PJRT platforms (observed on axon: a 1.4 s 256x256
+    # rollout step "blocked" in 3 ms), which silently under-reports. Queuing
+    # a window of steps back-to-back and blocking once amortizes dispatch
+    # and forces the device to actually drain the work.
+    k = min(4, steps)
+    cached = [dataset.batch_at(warmup + i) for i in range(k)]
+    jax.block_until_ready(cached)
 
-    lat = np.array(latencies)
+    def window(n: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for i in range(n):
+            state, m = step_fn(state, cached[i % k], rng)
+        jax.block_until_ready((state, m))
+        return (time.perf_counter() - t0) / n
+
+    window(max(2, steps // 4))  # extra warm window
+    lat = np.array([window(max(steps // 3, 2)) for _ in range(3)])
     p50 = float(np.percentile(lat, 50))
     n_chips = mesh.size
     frames_per_step = cfg.train.batch_size * max(cfg.train.rollout_length, 1)

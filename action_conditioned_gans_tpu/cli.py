@@ -106,7 +106,7 @@ def main(argv=None) -> int:
     if args.command in ("sample", "eval"):
         import jax
 
-        from action_conditioned_gans_tpu.train.sample import sample
+        from action_conditioned_gans_tpu.train.sample import evaluate, sample
         from action_conditioned_gans_tpu.train.state import init_state
         from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
 
@@ -117,8 +117,11 @@ def main(argv=None) -> int:
             print(f"[acgan] loaded checkpoint step {ckpt.latest_step()}")
         else:
             print("[acgan] WARNING: no checkpoint found; sampling from init")
-        out = args.out or f"{cfg.workdir}/samples"
-        metrics = sample(cfg, state, out, num_clips=args.num_clips)
+        if args.command == "sample":
+            out = args.out or f"{cfg.workdir}/samples"
+            metrics = sample(cfg, state, out, num_clips=args.num_clips)
+        else:
+            metrics = evaluate(cfg, state)
         print(json.dumps(metrics))
         return 0
 

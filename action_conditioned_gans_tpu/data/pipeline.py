@@ -9,10 +9,52 @@ then double-buffers batches onto the device.
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Iterator, Optional
 
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.data.synthetic import SyntheticClips
+
+
+class Prefetcher:
+    """Background-thread double buffering for host-side (file) sources.
+
+    Overlaps TFRecord parse/decode/normalize + device_put with the device
+    step (SURVEY.md §4.3: the rebuild's answer to TF queue runners). The
+    on-device synthetic source never needs this — its batches are produced
+    by the device itself.
+    """
+
+    def __init__(self, dataset, depth: int = 2):
+        self._ds = dataset
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err = None
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        i = 0
+        try:
+            while True:
+                self._q.put(self._ds.batch_at(i))
+                i += 1
+        except Exception as e:  # surfaced on the consumer side
+            self._err = e
+            self._q.put(None)
+
+    def batch_at(self, index):
+        del index  # stream-ordered, like the underlying file reader
+        item = self._q.get()
+        if item is None:
+            raise self._err  # type: ignore[misc]
+        return item
+
+    def __iter__(self):
+        i = 0
+        while True:
+            yield self.batch_at(i)
+            i += 1
 
 
 def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: int = 1):
@@ -38,7 +80,7 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
     if d.source == "tfrecord":
         from action_conditioned_gans_tpu.data import tfrecord
 
-        return tfrecord.TFRecordClips(
+        return Prefetcher(tfrecord.TFRecordClips(
             data_dir=d.data_dir,
             batch=t.batch_size,
             seq_len=seq_len,
@@ -53,11 +95,11 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
             host_id=host_id,
             num_hosts=num_hosts,
             out_shardings=out_shardings,
-        )
+        ))
     if d.source == "tfrecord_native":
         from action_conditioned_gans_tpu.data import native_tfrecord
 
-        return native_tfrecord.NativeTFRecordClips(
+        return Prefetcher(native_tfrecord.NativeTFRecordClips(
             data_dir=d.data_dir,
             batch=t.batch_size,
             seq_len=seq_len,
@@ -71,5 +113,5 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
             host_id=host_id,
             num_hosts=num_hosts,
             out_shardings=out_shardings,
-        )
+        ))
     raise ValueError(f"unknown data source {d.source!r}")

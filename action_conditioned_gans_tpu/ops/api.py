@@ -117,13 +117,22 @@ def conv_norm_act(
     qualify (per-sample conv output resident in VMEM); anything else falls
     back to conv + fused norm_act, then to plain XLA.
     """
-    if (
-        _resolve(backend) == "pallas"
-        and axis_name is None
-        and not transpose
-    ):
+    if _resolve(backend) == "pallas" and axis_name is None:
         p = _pallas()
-        if p.conv_norm_act_supported(x, w, stride, kind, groups):
+        if transpose and p.conv_transpose_norm_act_supported(x, w, stride, kind, groups):
+            return p.conv_transpose_norm_act(
+                x,
+                w,
+                scale,
+                bias,
+                stride=stride,
+                kind=kind,
+                groups=groups,
+                eps=eps,
+                act=act,
+                leak=leak,
+            )
+        if not transpose and p.conv_norm_act_supported(x, w, stride, kind, groups):
             return p.conv_norm_act(
                 x,
                 w,

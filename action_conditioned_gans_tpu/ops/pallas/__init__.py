@@ -29,6 +29,8 @@ from action_conditioned_gans_tpu.ops.pallas.conv import (
     conv2d_transpose,
     conv_norm_act,
     conv_norm_act_supported,
+    conv_transpose_norm_act,
+    conv_transpose_norm_act_supported,
 )
 
 __all__ = [
@@ -38,4 +40,6 @@ __all__ = [
     "conv2d_transpose",
     "conv_norm_act",
     "conv_norm_act_supported",
+    "conv_transpose_norm_act",
+    "conv_transpose_norm_act_supported",
 ]

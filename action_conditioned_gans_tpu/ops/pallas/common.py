@@ -40,6 +40,7 @@ def group_norm_epilogue(
     bias_row: jax.Array,  # (1, C)
     groups: int,
     eps: float,
+    logical_channels: int = 0,
 ) -> jax.Array:
     """GroupNorm over a single sample's (N, C) block, Mosaic-friendly.
 
@@ -47,17 +48,26 @@ def group_norm_epilogue(
     reshaping to (N, g, C/g) the per-group statistics are computed with a
     0/1 channel->group aggregation matrix on the MXU: two (1, C) x (C, g)
     dots for the moments, two (1, g) x (g, C) dots to broadcast them back.
+
+    ``logical_channels``: when C is a subpixel-tiled view of a smaller
+    logical channel dim (the conv-transpose kernel packs the 2x2 output
+    phases as 4 channel blocks), statistics group by ``ch %
+    logical_channels`` so they match the post-depth-to-space layout exactly.
     """
     n, c = x2d.shape
-    cg = c // groups
-    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    lc = logical_channels or c
+    tile = c // lc
+    cg = lc // groups
+    ch_group = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) % lc
+    ) // cg
     grp_id = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
     m = (ch_group == grp_id).astype(jnp.float32)  # (C, g)
     mt = m.T  # (g, C)
 
     s1 = jnp.sum(x2d, axis=0, keepdims=True)  # (1, C)
     s2 = jnp.sum(x2d * x2d, axis=0, keepdims=True)
-    count = float(n * cg)
+    count = float(n * cg * tile)
     gmean = jnp.dot(s1, m, preferred_element_type=jnp.float32) / count  # (1, g)
     gsq = jnp.dot(s2, m, preferred_element_type=jnp.float32) / count
     gvar = jnp.maximum(gsq - gmean * gmean, 0.0)

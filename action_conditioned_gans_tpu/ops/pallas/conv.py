@@ -201,7 +201,162 @@ def conv2d(x, w, *, stride=1, padding="SAME") -> jax.Array:
 
 
 def conv2d_transpose(x, w, *, stride=2, padding="SAME") -> jax.Array:
-    """Conv-transpose stays on the XLA path for now: XLA lowers it to one
-    input-dilated conv on the MXU already; the fused-epilogue win is captured
-    by the pallas ``group_norm_act`` that follows it (see ops.api)."""
+    """Standalone pallas conv-transpose; XLA fallback off the envelope."""
+    if padding == "SAME" and conv_transpose_norm_act_supported(x, w, stride, "none", 1):
+        return conv_transpose_norm_act(
+            x, w, None, None, stride=stride, kind="none", act="none"
+        )
     return _xla.conv2d_transpose(x, w, stride=stride, padding=padding)
+
+
+# ---------------------------------------------------------------------------
+# Fused conv-transpose -> GroupNorm -> activation.
+#
+# A k=4 stride-2 SAME conv-transpose decomposes exactly into four k'=2
+# stride-1 convs over the 1-padded input, one per output subpixel phase
+# (r, c):  y[2a+r, 2b+c] = sum_{dy,dx in {0,1}}
+#              x_pad[a+dy+r, b+dx+c] @ w[2*dy+r, 2*dx+c]
+# (verified numerically against lax.conv_transpose). The kernel computes the
+# four phase blocks as MXU matmuls into a (H*W, 4*Cout) accumulator, runs
+# the GroupNorm/affine/activation epilogue on the phase-tiled layout (stats
+# keyed by ch % Cout so they equal the post-shuffle result), and the host
+# finishes with a depth-to-space reshuffle.
+# ---------------------------------------------------------------------------
+
+
+def _plan_transpose(x_shape, w_shape, stride):
+    if len(x_shape) != 4 or len(w_shape) != 4:
+        return None
+    b, h, w_, cin = x_shape
+    kh, kw, wcin, cout = w_shape
+    if stride != 2 or kh != 4 or kw != 4 or wcin != cin:
+        return None
+    in_bytes = (h + 2) * (w_ + 2) * cin * 4
+    slice_bytes = h * w_ * cin * 4
+    acc_bytes = 4 * h * w_ * cout * 4
+    w_bytes = 16 * cin * cout * 4
+    if 2 * (in_bytes + slice_bytes + acc_bytes + w_bytes) > VMEM_BUDGET:
+        return None
+    return dict(b=b, h=h, w=w_, cin=cin, cout=cout)
+
+
+def conv_transpose_norm_act_supported(x, w, stride, kind, groups) -> bool:
+    if kind not in ("group", "none"):
+        return False
+    return _plan_transpose(x.shape, w.shape, stride) is not None
+
+
+def _kernel_t(x_ref, w_ref, scale_ref, bias_ref, o_ref, *, plan, kind, groups, eps, act, leak):
+    h, w_, cin, cout = plan["h"], plan["w"], plan["cin"], plan["cout"]
+    x = x_ref[0]  # (h+2, w+2, cin)
+    blocks = []
+    for r in range(2):
+        for c in range(2):
+            acc = jnp.zeros((h * w_, cout), jnp.float32)
+            for dy in range(2):
+                for dx in range(2):
+                    sl = x[dy + r : dy + r + h, dx + c : dx + c + w_, :].reshape(
+                        h * w_, cin
+                    )
+                    idx = ((r * 2 + c) * 4 + dy * 2 + dx) * cin
+                    acc += jnp.dot(
+                        sl, w_ref[idx : idx + cin, :], preferred_element_type=jnp.float32
+                    )
+            blocks.append(acc)
+    y = jnp.concatenate(blocks, axis=1)  # (h*w, 4*cout), phase-major channels
+
+    if kind == "group":
+        y = group_norm_epilogue(
+            y, scale_ref[:], bias_ref[:], groups, eps, logical_channels=cout
+        )
+    else:
+        y = y + bias_ref[0].astype(jnp.float32)
+    o_ref[0] = apply_act(y, act, leak).reshape(h, w_, 4 * cout).astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fn_t(kind: str, groups: int, eps: float, act: str, leak: float):
+    def fwd_pallas(x, w, scale, bias):
+        plan = _plan_transpose(x.shape, w.shape, 2)
+        assert plan is not None, "conv_transpose_norm_act_supported must gate this"
+        b, h, w_, cin, cout = plan["b"], plan["h"], plan["w"], plan["cin"], plan["cout"]
+        g = resolve_groups(cout, groups) if kind == "group" else groups
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        # w2 rows ordered by (r, c, dy, dx) to match the kernel's block loop.
+        pieces = [
+            w[2 * dy + r, 2 * dx + c].astype(x.dtype)
+            for r in range(2)
+            for c in range(2)
+            for dy in range(2)
+            for dx in range(2)
+        ]
+        wf = jnp.concatenate(pieces, axis=0)  # (16*cin, cout)
+        scale1 = scale if scale is not None else jnp.ones((cout,), jnp.float32)
+        bias1 = bias if bias is not None else jnp.zeros((cout,), jnp.float32)
+        scale4 = jnp.tile(scale1, 4).reshape(1, 4 * cout)
+        bias4 = jnp.tile(bias1, 4).reshape(1, 4 * cout)
+        kern = functools.partial(
+            _kernel_t, plan=plan, kind=kind, groups=g, eps=eps, act=act, leak=leak
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, h + 2, w_ + 2, cin), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(wf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, w_, 4 * cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, w_, 4 * cout), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * h * w_ * 16 * cin * cout,
+                bytes_accessed=xp.size * xp.dtype.itemsize
+                + wf.size * wf.dtype.itemsize
+                + b * h * w_ * 4 * cout * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret_mode(),
+        )(xp, wf, scale4, bias4)
+        # depth-to-space: phase blocks (r*2+c) -> spatial (2h, 2w).
+        out = out.reshape(b, h, w_, 2, 2, cout)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w_, cout)
+        return out
+
+    def oracle(x, w, scale, bias):
+        y = _xla.conv2d_transpose(x, w, stride=2)
+        return _xla.norm_act(
+            y, scale, bias, kind=kind, groups=groups, eps=eps, act=act, leak=leak
+        )
+
+    @jax.custom_vjp
+    def fused(x, w, scale, bias):
+        return fwd_pallas(x, w, scale, bias)
+
+    def fused_fwd(x, w, scale, bias):
+        return fwd_pallas(x, w, scale, bias), (x, w, scale, bias)
+
+    def fused_bwd(res, g_out):
+        x, w, scale, bias = res
+        _, vjp = jax.vjp(oracle, x, w, scale, bias)
+        return vjp(g_out)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def conv_transpose_norm_act(
+    x, w, scale, bias, *, stride=2, kind="group", groups=32, eps=1e-5, act="relu", leak=0.2
+) -> jax.Array:
+    assert stride == 2
+    fn = _make_fn_t(kind, groups, float(eps), act, float(leak))
+    cout = w.shape[-1]
+    if scale is None:
+        scale = jnp.ones((cout,), jnp.float32)
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    return fn(x, w, scale, bias)

@@ -86,6 +86,38 @@ def eval_metrics(preds: jax.Array, targets: jax.Array) -> Dict[str, float]:
     }
 
 
+def evaluate(
+    cfg: Config,
+    state: TrainState,
+    num_batches: int = 8,
+    batch_size: int = 16,
+    horizon: Optional[int] = None,
+    seed: int = 1234,
+) -> Dict[str, float]:
+    """Quantitative eval over held-out synthetic clips: mean L1/L2/PSNR/SSIM
+    across ``num_batches`` fully-autoregressive rollouts (no image export)."""
+    import jax.numpy as jnp
+
+    horizon = horizon or max(cfg.train.rollout_length, 1)
+    fn = make_rollout_fn(cfg)
+    acc: Dict[str, float] = {}
+    for b in range(num_batches):
+        batch = generate_clips(
+            jax.random.fold_in(jax.random.PRNGKey(seed), b),
+            batch_size,
+            horizon + 1,
+            cfg.model.image_size,
+            cfg.model.action_dim,
+        )
+        preds = fn(state.g_params, batch, jax.random.PRNGKey(b))
+        m = eval_metrics(preds, batch["frames"][:, 1:])
+        for k, v in m.items():
+            acc[k] = acc.get(k, 0.0) + v / num_batches
+    acc["eval_batches"] = num_batches
+    acc["eval_horizon"] = horizon
+    return acc
+
+
 def sample(
     cfg: Config,
     state: TrainState,

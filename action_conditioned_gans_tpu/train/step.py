@@ -74,6 +74,10 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         horizon = actions.shape[1]
 
         rng = jax.random.fold_in(rng, state.step)
+        if axis_name is not None:
+            # Decorrelate stochastic choices (scheduled sampling) across DP
+            # shards; a no-op for the loss math, which never mixes shards.
+            rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
         ss_prob = scheduled_sampling_prob(state.step, t)
 
         def predict(g_params, key):

@@ -88,6 +88,49 @@ def test_conv_norm_act_grad_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
 
 
+@pytest.mark.parametrize(
+    "kind,act,cout",
+    [("group", "relu", 16), ("none", "tanh", 3), ("group", "lrelu", 32)],
+)
+def test_conv_transpose_norm_act_parity(kind, act, cout):
+    cin = 8
+    x = rand(0, 2, 8, 8, cin)
+    w = rand(1, 4, 4, cin, cout) * 0.1
+    scale = rand(2, cout) * 0.1 + 1.0 if kind == "group" else None
+    bias = rand(3, cout) * 0.1
+    assert P.conv_transpose_norm_act_supported(x, w, 2, kind, 4)
+    got = P.conv_transpose_norm_act(
+        x, w, scale, bias, stride=2, kind=kind, groups=4, act=act
+    )
+    want = X.norm_act(
+        X.conv2d_transpose(x, w, stride=2), scale, bias, kind=kind, groups=4, act=act
+    )
+    assert got.shape == want.shape == (2, 16, 16, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **TOL)
+
+
+def test_conv_transpose_grad_parity():
+    x = rand(0, 2, 4, 4, 8)
+    w = rand(1, 4, 4, 8, 8) * 0.1
+    scale, bias = jnp.ones((8,)), jnp.zeros((8,))
+    fused = lambda x, w, s, b: jnp.sum(
+        P.conv_transpose_norm_act(
+            x, w, s, b, stride=2, kind="group", groups=4, act="relu"
+        )
+        ** 2
+    )
+    ref = lambda x, w, s, b: jnp.sum(
+        X.norm_act(
+            X.conv2d_transpose(x, w, stride=2), s, b, kind="group", groups=4, act="relu"
+        )
+        ** 2
+    )
+    g1 = jax.grad(fused, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    g2 = jax.grad(ref, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **TOL)
+
+
 def test_supported_rejects_out_of_envelope():
     big = jax.ShapeDtypeStruct((1, 512, 512, 256), jnp.float32)
     w = jax.ShapeDtypeStruct((4, 4, 256, 512), jnp.float32)
