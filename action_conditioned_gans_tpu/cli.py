@@ -47,12 +47,15 @@ def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="acgan", description=__doc__)
-    p.add_argument("command", choices=["train", "sample", "eval", "bench", "configs"])
+    p.add_argument(
+        "command",
+        choices=["train", "sample", "eval", "bench", "configs", "make-data"],
+    )
     p.add_argument("--preset", default="config1", help="BASELINE.json preset name")
     p.add_argument("--workdir", default=None)
     p.add_argument("--steps", type=int, default=None, help="override total steps")
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--out", default=None, help="sample/eval output directory")
+    p.add_argument("--out", default=None, help="sample/make-data output path")
     p.add_argument("--num-clips", type=int, default=8)
     p.add_argument(
         "--set",
@@ -129,6 +132,41 @@ def main(argv=None) -> int:
         from action_conditioned_gans_tpu.bench import run_bench
 
         print(json.dumps(run_bench(cfg, steps=args.steps or 30)))
+        return 0
+
+    if args.command == "make-data":
+        # Materialize seeded synthetic pushing clips as BAIR-schema
+        # TFRecords (native TF-free writer) so the tfrecord input paths can
+        # be exercised end-to-end without the real dataset.
+        import jax
+        import numpy as np
+
+        from action_conditioned_gans_tpu.data import generate_clips
+        from action_conditioned_gans_tpu.data.native_tfrecord import (
+            write_clips_tfrecord_native,
+        )
+
+        out = args.out or f"{cfg.workdir}/data/clips.tfrecord"
+        n = args.num_clips
+        d, m = cfg.data, cfg.model
+        batch = generate_clips(
+            jax.random.PRNGKey(cfg.train.seed),
+            n,
+            d.clip_len,
+            m.image_size,
+            m.action_dim,
+        )
+        frames = np.asarray(batch["frames"])
+        # Pad per-timestep actions/states to clip_len (last row zeros): the
+        # BAIR schema stores one feature set per FRAME.
+        def pad_t(x):
+            x = np.asarray(x)
+            return np.concatenate([x, np.zeros_like(x[:, :1])], axis=1)
+
+        write_clips_tfrecord_native(
+            out, frames, pad_t(batch["actions"]), pad_t(batch["states"])
+        )
+        print(json.dumps({"written": out, "clips": n, "clip_len": d.clip_len}))
         return 0
 
     return 1

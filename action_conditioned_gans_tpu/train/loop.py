@@ -91,6 +91,33 @@ def train(
 
     prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
+    # Periodic held-out sampling -> eval scalars + TensorBoard image
+    # summaries (the reference's periodic image summaries, SURVEY.md §6).
+    sample_fn = None
+
+    def write_samples(step_idx: int) -> None:
+        nonlocal sample_fn
+        from action_conditioned_gans_tpu.data import generate_clips
+        from action_conditioned_gans_tpu.train.sample import eval_metrics, make_rollout_fn
+
+        if sample_fn is None:
+            sample_fn = make_rollout_fn(cfg)
+        horizon = max(t.rollout_length, 1)
+        held_out = generate_clips(
+            jax.random.PRNGKey(t.seed + 7919),  # disjoint from training stream
+            min(8, t.batch_size),
+            horizon + 1,
+            cfg.model.image_size,
+            cfg.model.action_dim,
+        )
+        preds = sample_fn(state.g_params, held_out, jax.random.PRNGKey(0))
+        em = eval_metrics(preds, held_out["frames"][:, 1:])
+        writer.write(step_idx, em)
+        writer.write_images(step_idx, "pred_final_frame", np.asarray(preds[:, -1]))
+        writer.write_images(
+            step_idx, "gt_final_frame", np.asarray(held_out["frames"][:, -1])
+        )
+
     metrics = {}
     for i in range(start, total):
         batch = dataset.batch_at(i)
@@ -101,6 +128,8 @@ def train(
         writer.tick()
         if (i + 1) % t.checkpoint_every == 0:
             ckpt.save(i + 1, jax.device_get(state))
+        if t.sample_every > 0 and (i + 1) % t.sample_every == 0:
+            write_samples(i + 1)
         if preempted["flag"]:
             print(f"[acgan] SIGTERM received: checkpointing at step {i + 1} and exiting")
             ckpt.save(i + 1, jax.device_get(state), force=True)

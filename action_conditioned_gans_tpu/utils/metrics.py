@@ -45,6 +45,19 @@ class MetricWriter:
                 for k, v in metrics.items():
                     tf.summary.scalar(k, float(v), step=int(step))
 
+    def write_images(self, step: int, tag: str, images) -> None:
+        """Image summaries (the reference's periodic tf.summary images,
+        SURVEY.md §6). ``images``: (N, H, W, C) in [-1, 1]; no-op without a
+        TensorBoard writer."""
+        if self._tb is None:
+            return
+        import numpy as np
+        import tensorflow as tf  # type: ignore
+
+        arr = (np.clip(np.asarray(images, np.float32), -1, 1) + 1.0) / 2.0
+        with self._tb.as_default():
+            tf.summary.image(tag, arr, step=int(step), max_outputs=arr.shape[0])
+
     # --- step timing -------------------------------------------------------
     def tick(self) -> None:
         """Mark the completion of one training step (call after blocking on

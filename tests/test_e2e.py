@@ -32,6 +32,7 @@ def tiny_config(workdir: str) -> Config:
             log_every=2,
             checkpoint_every=2,
             checkpoint_keep=2,
+            sample_every=3,  # exercises in-training held-out sampling
         ),
         mesh=MeshConfig(data=-1),  # all 8 virtual devices
         workdir=workdir,
@@ -44,13 +45,15 @@ def test_train_smoke_and_resume(tmp_path, capsys):
     assert int(np.asarray(state.step)) == 3
     assert os.path.isdir(os.path.join(str(tmp_path), "checkpoints"))
 
-    # Logged metrics were finite JSON lines.
+    # Logged metrics were finite JSON lines, including the periodic
+    # held-out eval triggered by sample_every.
     lines = [
         json.loads(l)
         for l in capsys.readouterr().out.splitlines()
         if l.startswith("{")
     ]
     assert lines and all(np.isfinite(l["g_loss"]) for l in lines if "g_loss" in l)
+    assert any("eval_psnr" in l for l in lines)
 
     # Resume continues from the saved step.
     state2 = train(cfg, max_steps=5)
