@@ -86,6 +86,40 @@ def eval_metrics(preds: jax.Array, targets: jax.Array) -> Dict[str, float]:
     }
 
 
+def held_out_batches(cfg: Config, batch_size: int, horizon: int, seed: int):
+    """Infinite stream of held-out clip batches from the CONFIGURED source.
+
+    Synthetic: seeded disjointly from the training stream. File sources
+    (tfrecord / tfrecord_native): reads cfg.data.data_dir — point it at a
+    validation split for honest eval (the reference evaluates the same way:
+    held-out (frame, action) pairs, SURVEY.md §1).
+    """
+    if cfg.data.source == "synthetic":
+        i = 0
+        base = jax.random.PRNGKey(seed)
+        while True:
+            yield generate_clips(
+                jax.random.fold_in(base, i),
+                batch_size,
+                horizon + 1,
+                cfg.model.image_size,
+                cfg.model.action_dim,
+            )
+            i += 1
+    else:
+        import dataclasses
+
+        from action_conditioned_gans_tpu.data import make_dataset
+
+        eval_cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, batch_size=batch_size, rollout_length=horizon, seed=seed
+            ),
+        )
+        yield from iter(make_dataset(eval_cfg))
+
+
 def evaluate(
     cfg: Config,
     state: TrainState,
@@ -94,21 +128,15 @@ def evaluate(
     horizon: Optional[int] = None,
     seed: int = 1234,
 ) -> Dict[str, float]:
-    """Quantitative eval over held-out synthetic clips: mean L1/L2/PSNR/SSIM
-    across ``num_batches`` fully-autoregressive rollouts (no image export)."""
-    import jax.numpy as jnp
-
+    """Quantitative eval over held-out clips (from the configured data
+    source): mean L1/L2/PSNR/SSIM across ``num_batches`` fully-autoregressive
+    rollouts (no image export)."""
     horizon = horizon or max(cfg.train.rollout_length, 1)
     fn = make_rollout_fn(cfg)
+    stream = held_out_batches(cfg, batch_size, horizon, seed)
     acc: Dict[str, float] = {}
     for b in range(num_batches):
-        batch = generate_clips(
-            jax.random.fold_in(jax.random.PRNGKey(seed), b),
-            batch_size,
-            horizon + 1,
-            cfg.model.image_size,
-            cfg.model.action_dim,
-        )
+        batch = next(stream)
         preds = fn(state.g_params, batch, jax.random.PRNGKey(b))
         m = eval_metrics(preds, batch["frames"][:, 1:])
         for k, v in m.items():
@@ -126,17 +154,12 @@ def sample(
     horizon: Optional[int] = None,
     seed: int = 1234,
 ) -> Dict[str, float]:
-    """Generate rollouts on held-out synthetic clips, write PNG grids + GIFs
-    + GT-vs-pred strips, and return eval metrics."""
+    """Generate rollouts on held-out clips (from the configured data
+    source), write PNG grids + GIFs + GT-vs-pred strips, and return eval
+    metrics."""
     os.makedirs(out_dir, exist_ok=True)
     horizon = horizon or max(cfg.train.rollout_length, 1)
-    batch = generate_clips(
-        jax.random.PRNGKey(seed),  # held-out: disjoint from the training seed stream
-        num_clips,
-        horizon + 1,
-        cfg.model.image_size,
-        cfg.model.action_dim,
-    )
+    batch = next(held_out_batches(cfg, num_clips, horizon, seed))
     preds = make_rollout_fn(cfg)(state.g_params, batch, jax.random.PRNGKey(0))
     preds = np.asarray(preds, np.float32)
     targets = np.asarray(batch["frames"][:, 1:], np.float32)
