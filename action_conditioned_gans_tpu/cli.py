@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="config override, repeatable",
     )
     p.add_argument(
+        "--profile-steps",
+        type=int,
+        default=0,
+        help="capture a jax.profiler trace of N training steps into <workdir>/profile",
+    )
+    p.add_argument(
         "--multihost",
         action="store_true",
         help="initialize the multi-host JAX runtime (jax.distributed) — run "
@@ -103,7 +109,12 @@ def main(argv=None) -> int:
     if args.command == "train":
         from action_conditioned_gans_tpu.train.loop import train
 
-        train(cfg, max_steps=args.steps, resume=not args.no_resume)
+        train(
+            cfg,
+            max_steps=args.steps,
+            resume=not args.no_resume,
+            profile_steps=args.profile_steps,
+        )
         return 0
 
     if args.command in ("sample", "eval"):

@@ -54,7 +54,11 @@ def train(
     max_steps: Optional[int] = None,
     resume: bool = True,
     workdir: Optional[str] = None,
+    profile_steps: int = 0,
 ) -> TrainState:
+    """Run training. ``profile_steps`` > 0 captures a jax.profiler device
+    trace of that many steps (after warmup) into <workdir>/profile for
+    XProf/Perfetto (SURVEY.md §6 tracing)."""
     workdir = workdir or cfg.workdir
     os.makedirs(workdir, exist_ok=True)
     t = cfg.train
@@ -118,8 +122,21 @@ def train(
             step_idx, "gt_final_frame", np.asarray(held_out["frames"][:, -1])
         )
 
+    profile_at = start + 3 if profile_steps > 0 else -1
+
     metrics = {}
     for i in range(start, total):
+        if i == profile_at:
+            from action_conditioned_gans_tpu.utils import profiling
+
+            tracedir = os.path.join(workdir, "profile")
+            print(f"[acgan] capturing {profile_steps}-step trace -> {tracedir}")
+            jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
+            jax.profiler.start_trace(tracedir)
+        if profile_at >= 0 and i == profile_at + profile_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print("[acgan] trace captured")
         batch = dataset.batch_at(i)
         state, metrics = step_fn(state, batch, rng)
         if (i + 1) % t.log_every == 0 or i == start:
