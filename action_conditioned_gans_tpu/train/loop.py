@@ -32,6 +32,17 @@ def build_step_and_state(cfg: Config, mesh=None):
     shard_map DP path (also correct for a single device: mesh (1, 1)).
     """
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+    if mesh.shape[mesh.axis_names[1]] > 1 and cfg.model.backend == "pallas":
+        # GSPMD has no partitioning rules for pallas_call: under tensor
+        # parallelism the fused kernels would be replicated per shard rather
+        # than channel-partitioned. Fall back to the XLA ops, which GSPMD
+        # shards correctly (docs/ARCHITECTURE.md parallelism table).
+        import dataclasses
+
+        print("[acgan] model-parallel mesh: forcing backend=xla (pallas kernels are DP-only)")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backend="xla")
+        )
     state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
     if mesh.shape[mesh.axis_names[1]] > 1:
         step_fn = make_gspmd_train_step(cfg, mesh, state)

@@ -126,6 +126,44 @@ def test_tp_param_pspec_rules():
     assert tp_param_pspec(mk((4, 4, 8, 16)), "model", 1) == jax.sharding.PartitionSpec()
 
 
+def test_dp_composes_with_pallas_backend():
+    """The fused Pallas kernels run inside the shard_map DP step (per-device
+    batch shard -> per-sample kernel grid) and match the XLA backend."""
+    import dataclasses
+
+    cfg = tiny_config(batch_size=8)
+    cfg_p = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backend="pallas")
+    )
+    mesh = make_mesh(cfg.mesh)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    st_x = init_state(cfg, jax.random.PRNGKey(0))
+    _, m_x = make_dp_train_step(cfg, mesh)(st_x, shard_batch(batch, mesh), rng)
+    st_p = init_state(cfg_p, jax.random.PRNGKey(0))
+    _, m_p = make_dp_train_step(cfg_p, mesh)(st_p, shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(
+        float(m_x["g_loss"]), float(m_p["g_loss"]), rtol=1e-3
+    )
+
+
+def test_tp_mesh_forces_xla_backend():
+    """GSPMD cannot partition pallas_call: the trainer must fall back."""
+    import dataclasses
+
+    from action_conditioned_gans_tpu.train.loop import build_step_and_state
+
+    cfg = tiny_config(batch_size=8, data=4, model=2)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, backend="pallas")
+    )
+    mesh, state, step_fn = build_step_and_state(cfg)
+    batch = make_batch(cfg)
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
 def test_sync_batchnorm_under_dp():
     """'batch' norm psum-syncs moments: DP result == global-batch result."""
     import dataclasses
