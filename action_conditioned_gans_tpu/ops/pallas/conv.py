@@ -41,7 +41,7 @@ def _same_pad(h: int, k: int, s: int) -> tuple:
     return oh, total // 2, total - total // 2
 
 
-def _plan(x_shape, w_shape, stride):
+def _plan(x_shape, w_shape, stride, itemsize=4):
     """Static lowering plan; None if this shape combination is unsupported."""
     if len(x_shape) != 4 or len(w_shape) != 4:
         return None
@@ -63,10 +63,12 @@ def _plan(x_shape, w_shape, stride):
     if hp - kk + 1 < oh or wp - kk + 1 < ow:
         return None
     # VMEM working set per program (double-buffered pipeline => x2).
-    in_bytes = hp * wp * cin_eff * 4
-    slice_bytes = oh * ow * cin_eff * 4
+    # Activations/weights live in the compute dtype (bf16 halves them);
+    # slices and the accumulator are f32.
+    in_bytes = hp * wp * cin_eff * itemsize
+    slice_bytes = oh * ow * cin_eff * itemsize
     acc_bytes = oh * ow * cout * 4
-    w_bytes = kk * kk * cin_eff * cout * 4
+    w_bytes = kk * kk * cin_eff * cout * itemsize
     if 2 * (in_bytes + slice_bytes + acc_bytes + w_bytes) > VMEM_BUDGET:
         return None
     return dict(
@@ -75,10 +77,17 @@ def _plan(x_shape, w_shape, stride):
     )
 
 
+def _itemsize(x) -> int:
+    try:
+        return jnp.dtype(x.dtype).itemsize
+    except Exception:
+        return 4
+
+
 def conv_norm_act_supported(x, w, stride, kind, groups) -> bool:
     if kind not in ("group", "none"):
         return False
-    return _plan(x.shape, w.shape, stride) is not None
+    return _plan(x.shape, w.shape, stride, _itemsize(x)) is not None
 
 
 def _prepare_inputs(x, w, plan):
@@ -121,7 +130,7 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, *, plan, kind, groups, eps
 @functools.lru_cache(maxsize=None)
 def _make_fn(stride: int, kind: str, groups: int, eps: float, act: str, leak: float):
     def fwd_pallas(x, w, scale, bias):
-        plan = _plan(x.shape, w.shape, stride)
+        plan = _plan(x.shape, w.shape, stride, _itemsize(x))
         assert plan is not None, "conv_norm_act_supported must gate this call"
         g = resolve_groups(plan["cout"], groups) if kind == "group" else groups
         xp, wf = _prepare_inputs(x, w, plan)
@@ -224,17 +233,17 @@ def conv2d_transpose(x, w, *, stride=2, padding="SAME") -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _plan_transpose(x_shape, w_shape, stride):
+def _plan_transpose(x_shape, w_shape, stride, itemsize=4):
     if len(x_shape) != 4 or len(w_shape) != 4:
         return None
     b, h, w_, cin = x_shape
     kh, kw, wcin, cout = w_shape
     if stride != 2 or kh != 4 or kw != 4 or wcin != cin:
         return None
-    in_bytes = (h + 2) * (w_ + 2) * cin * 4
-    slice_bytes = h * w_ * cin * 4
+    in_bytes = (h + 2) * (w_ + 2) * cin * itemsize
+    slice_bytes = h * w_ * cin * itemsize
     acc_bytes = 4 * h * w_ * cout * 4
-    w_bytes = 16 * cin * cout * 4
+    w_bytes = 16 * cin * cout * itemsize
     if 2 * (in_bytes + slice_bytes + acc_bytes + w_bytes) > VMEM_BUDGET:
         return None
     return dict(b=b, h=h, w=w_, cin=cin, cout=cout)
@@ -243,7 +252,7 @@ def _plan_transpose(x_shape, w_shape, stride):
 def conv_transpose_norm_act_supported(x, w, stride, kind, groups) -> bool:
     if kind not in ("group", "none"):
         return False
-    return _plan_transpose(x.shape, w.shape, stride) is not None
+    return _plan_transpose(x.shape, w.shape, stride, _itemsize(x)) is not None
 
 
 def _kernel_t(x_ref, w_ref, scale_ref, bias_ref, o_ref, *, plan, kind, groups, eps, act, leak):
@@ -277,7 +286,7 @@ def _kernel_t(x_ref, w_ref, scale_ref, bias_ref, o_ref, *, plan, kind, groups, e
 @functools.lru_cache(maxsize=None)
 def _make_fn_t(kind: str, groups: int, eps: float, act: str, leak: float):
     def fwd_pallas(x, w, scale, bias):
-        plan = _plan_transpose(x.shape, w.shape, 2)
+        plan = _plan_transpose(x.shape, w.shape, 2, _itemsize(x))
         assert plan is not None, "conv_transpose_norm_act_supported must gate this"
         b, h, w_, cin, cout = plan["b"], plan["h"], plan["w"], plan["cin"], plan["cout"]
         g = resolve_groups(cout, groups) if kind == "group" else groups
