@@ -81,12 +81,14 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
         state, metrics = step_fn(state, dataset.batch_at(i), rng)
     jax.block_until_ready(metrics)
 
-    # Timing methodology: windowed throughput, NOT per-step blocking.
-    # Per-step block_until_ready can return at the dispatch floor on
-    # remote/tunneled PJRT platforms (observed on axon: a 1.4 s 256x256
-    # rollout step "blocked" in 3 ms), which silently under-reports. Queuing
-    # a window of steps back-to-back and blocking once amortizes dispatch
-    # and forces the device to actually drain the work.
+    # Timing methodology: windowed throughput ending in a HOST
+    # MATERIALIZATION. On remote/tunneled PJRT platforms (axon), both
+    # per-step AND windowed block_until_ready can return before the device
+    # drains (observed: a 155 ms step "blocking" in 2 ms) — buffer-readiness
+    # events are not a completion barrier there. Reading an actual output
+    # value back to the host is: the window timer queues N steps and ends
+    # with a scalar device_get. Any still-hidden tail lands in the next
+    # window, so across 3 windows the p50 cannot under-report.
     k = min(4, steps)
     cached = [dataset.batch_at(warmup + i) for i in range(k)]
     jax.block_until_ready(cached)
@@ -97,7 +99,8 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
         m = None
         for i in range(n):
             state, m = step_fn(state, cached[i % k], rng)
-        jax.block_until_ready((state, m))
+        float(jax.device_get(m["d_loss"]))  # true completion barrier
+        jax.block_until_ready(state)
         return (time.perf_counter() - t0) / n
 
     window(max(2, steps // 4))  # extra warm window

@@ -213,7 +213,7 @@ PRESETS = {
     #    clips + 4-dim action (CPU ref run)"
     "config1": Config(
         name="config1",
-        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4, backend="pallas"),
+        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
         data=DataConfig(source="synthetic", seq_len=2),
         train=TrainConfig(batch_size=8, rollout_length=1),
     ),
@@ -221,7 +221,7 @@ PRESETS = {
     #    generator, batch 16"
     "config2": Config(
         name="config2",
-        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4, backend="pallas"),
+        model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
         data=DataConfig(source="synthetic", seq_len=11),
         train=TrainConfig(batch_size=16, rollout_length=10),
     ),
@@ -230,7 +230,7 @@ PRESETS = {
     "config3": Config(
         name="config3",
         model=ModelConfig(
-            image_size=128, action_dim=4, g_levels=4, d_levels=5, d_extra_layers=1, backend="pallas"
+            image_size=128, action_dim=4, g_levels=4, d_levels=5, d_extra_layers=1
         ),
         data=DataConfig(source="synthetic", seq_len=2),
         train=TrainConfig(batch_size=32, rollout_length=1),
@@ -240,7 +240,7 @@ PRESETS = {
     #    batch 64"
     "config4": Config(
         name="config4",
-        model=ModelConfig(image_size=64, action_dim=4, state_dim=3, g_levels=3, d_levels=4, backend="pallas"),
+        model=ModelConfig(image_size=64, action_dim=4, state_dim=3, g_levels=3, d_levels=4),
         data=DataConfig(source="synthetic", seq_len=11),
         train=TrainConfig(
             batch_size=64,
@@ -257,7 +257,7 @@ PRESETS = {
     "config5": Config(
         name="config5",
         model=ModelConfig(
-            image_size=256, action_dim=4, g_levels=5, d_levels=6, d_extra_layers=1, backend="pallas"
+            image_size=256, action_dim=4, g_levels=5, d_levels=6, d_extra_layers=1
         ),
         data=DataConfig(source="synthetic", seq_len=31),
         train=TrainConfig(batch_size=32, rollout_length=30, remat_rollout=True),

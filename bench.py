@@ -24,7 +24,7 @@ BASELINE_RECORD = os.path.join(REPO, "BENCH_BASELINE.json")
 BENCH_BATCH = int(os.environ.get("ACGAN_BENCH_BATCH", "64"))
 BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "30"))
 # Kernel backend: "xla" or "pallas" (fused Pallas conv/norm kernels).
-BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "pallas")
+BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 
 
 def main() -> int:
