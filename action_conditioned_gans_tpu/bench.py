@@ -49,8 +49,9 @@ def step_cost_flops(compiled) -> Optional[float]:
 
 
 def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]:
+    spc = max(cfg.train.steps_per_call, 1)
     mesh, state, step_fn = build_step_and_state(cfg)
-    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh))
+    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh), stack=spc)
     rng = jax.random.PRNGKey(0)
 
     batch = dataset.batch_at(0)
@@ -93,15 +94,16 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
     cached = [dataset.batch_at(warmup + i) for i in range(k)]
     jax.block_until_ready(cached)
 
-    def window(n: int) -> float:
+    def window(n_calls: int) -> float:
+        """Per-STEP latency over a window of n_calls dispatches."""
         nonlocal state
         t0 = time.perf_counter()
         m = None
-        for i in range(n):
+        for i in range(n_calls):
             state, m = step_fn(state, cached[i % k], rng)
         float(jax.device_get(m["d_loss"]))  # true completion barrier
         jax.block_until_ready(state)
-        return (time.perf_counter() - t0) / n
+        return (time.perf_counter() - t0) / (n_calls * spc)
 
     window(max(2, steps // 4))  # extra warm window
     lat = np.array([window(max(steps // 3, 2)) for _ in range(3)])
@@ -115,6 +117,7 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
         "image_size": cfg.model.image_size,
         "batch_size": cfg.train.batch_size,
         "rollout_length": cfg.train.rollout_length,
+        "steps_per_call": spc,
         "num_chips": n_chips,
         "p50_step_latency_ms": p50 * 1e3,
         "p90_step_latency_ms": float(np.percentile(lat, 90)) * 1e3,

@@ -57,13 +57,59 @@ class Prefetcher:
             i += 1
 
 
-def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: int = 1):
+class StackSteps:
+    """Wrap a (B, ...)-batch host source into (k, B, ...) stacked batches
+    for multi-step dispatch (TrainConfig.steps_per_call)."""
+
+    def __init__(self, dataset, k: int, out_shardings=None):
+        self._ds = dataset
+        self._k = k
+        self._shardings = out_shardings
+
+    def batch_at(self, index):
+        import numpy as np
+        import jax
+
+        parts = [
+            jax.device_get(self._ds.batch_at(index * self._k + j))
+            for j in range(self._k)
+        ]
+        out = {
+            key: np.stack([p[key] for p in parts]) for key in parts[0]
+        }
+        if self._shardings is not None:
+            return {
+                key: jax.device_put(v, self._shardings[key]) for key, v in out.items()
+            }
+        return {key: jax.numpy.asarray(v) for key, v in out.items()}
+
+    def __iter__(self):
+        i = 0
+        while True:
+            yield self.batch_at(i)
+            i += 1
+
+
+def _wrap_host_source(ds, stack: int, out_shardings):
+    if stack > 1:
+        return Prefetcher(StackSteps(ds, stack, out_shardings))
+    return Prefetcher(ds)
+
+
+def make_dataset(
+    cfg: Config,
+    out_shardings=None,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    stack: int = 1,
+):
     """Build the training data iterator for a config.
 
     ``out_shardings``: optional NamedSharding pytree — synthetic batches are
     generated directly into their data-parallel layout.
     ``host_id``/``num_hosts``: multi-host sharding of the file set (each host
     reads a disjoint shard; SURVEY.md §8 hard-part 4).
+    ``stack``: emit (stack, B, ...) batches for multi-step dispatch.
     """
     d, t, m = cfg.data, cfg.train, cfg.model
     seq_len = t.rollout_length + 1
@@ -76,11 +122,12 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
             with_state=True,
             seed=t.seed,
             out_shardings=out_shardings,
+            stack=stack,
         )
     if d.source == "tfrecord":
         from action_conditioned_gans_tpu.data import tfrecord
 
-        return Prefetcher(tfrecord.TFRecordClips(
+        return _wrap_host_source(tfrecord.TFRecordClips(
             data_dir=d.data_dir,
             batch=t.batch_size,
             seq_len=seq_len,
@@ -94,12 +141,12 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
             seed=t.seed,
             host_id=host_id,
             num_hosts=num_hosts,
-            out_shardings=out_shardings,
-        ))
+            out_shardings=None if stack > 1 else out_shardings,
+        ), stack, out_shardings)
     if d.source == "tfrecord_native":
         from action_conditioned_gans_tpu.data import native_tfrecord
 
-        return Prefetcher(native_tfrecord.NativeTFRecordClips(
+        return _wrap_host_source(native_tfrecord.NativeTFRecordClips(
             data_dir=d.data_dir,
             batch=t.batch_size,
             seq_len=seq_len,
@@ -112,6 +159,6 @@ def make_dataset(cfg: Config, out_shardings=None, host_id: int = 0, num_hosts: i
             seed=t.seed,
             host_id=host_id,
             num_hosts=num_hosts,
-            out_shardings=out_shardings,
-        ))
+            out_shardings=None if stack > 1 else out_shardings,
+        ), stack, out_shardings)
     raise ValueError(f"unknown data source {d.source!r}")

@@ -159,6 +159,7 @@ class SyntheticClips:
         with_state: bool = True,
         seed: int = 0,
         out_shardings=None,
+        stack: int = 1,
     ):
         self.batch = batch
         self.seq_len = seq_len
@@ -168,15 +169,25 @@ class SyntheticClips:
         self._base = jax.random.PRNGKey(seed)
         fn = functools.partial(
             generate_clips,
-            batch=batch,
+            batch=batch * max(stack, 1),
             seq_len=seq_len,
             image_size=image_size,
             action_dim=action_dim,
             with_state=with_state,
         )
+
+        def gen(key):
+            out = fn(key)
+            if stack > 1:
+                # (stack*B, ...) -> (stack, B, ...) for multi-step dispatch.
+                out = jax.tree_util.tree_map(
+                    lambda x: x.reshape((stack, batch) + x.shape[1:]), out
+                )
+            return out
+
         # out_shardings places each fresh batch directly into its DP layout —
         # no host round-trip, no reshard.
-        self._fn = jax.jit(lambda k: fn(k), out_shardings=out_shardings)
+        self._fn = jax.jit(gen, out_shardings=out_shardings)
 
     def batch_at(self, index) -> Dict[str, jax.Array]:
         return self._fn(jax.random.fold_in(self._base, index))

@@ -21,23 +21,28 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from action_conditioned_gans_tpu.config import Config
-from action_conditioned_gans_tpu.train.step import make_train_step
+from action_conditioned_gans_tpu.train.step import make_multi_train_step
 
 
 def make_dp_train_step(cfg: Config, mesh: Mesh):
     """Jitted data-parallel fused step: (state, batch, rng) -> (state, metrics).
 
     State is replicated (PartitionSpec()), the batch is sharded on its
-    leading axis over 'data', and the returned state/metrics are replicated
-    (valid because grads/metrics are pmean'd before use).
+    batch axis over 'data', and the returned state/metrics are replicated
+    (valid because grads/metrics are pmean'd before use). With
+    steps_per_call > 1 the batch carries a leading (k, ...) steps axis (not
+    sharded) and k sequential updates run per dispatch.
     """
     data_axis = mesh.axis_names[0]
-    step = make_train_step(cfg, axis_name=data_axis)
+    step = make_multi_train_step(cfg, axis_name=data_axis)
+    batch_spec = (
+        P(None, data_axis) if cfg.train.steps_per_call > 1 else P(data_axis)
+    )
 
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(data_axis), P()),
+        in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

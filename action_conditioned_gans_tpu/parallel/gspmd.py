@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.train.state import TrainState
-from action_conditioned_gans_tpu.train.step import make_train_step
+from action_conditioned_gans_tpu.train.step import make_multi_train_step
 
 
 def tp_param_pspec(leaf: jax.ShapeDtypeStruct, model_axis: str, model_size: int) -> P:
@@ -62,13 +62,16 @@ def make_gspmd_train_step(cfg: Config, mesh: Mesh, state_example: TrainState):
     sharding annotations.
     """
     data_axis = mesh.axis_names[0]
-    step = make_train_step(cfg, axis_name=None)
+    step = make_multi_train_step(cfg, axis_name=None)
 
     state_shape = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), state_example
     )
     st_shardings = state_shardings(state_shape, mesh)
-    batch_sharding = NamedSharding(mesh, P(data_axis))
+    batch_sharding = NamedSharding(
+        mesh,
+        P(None, data_axis) if cfg.train.steps_per_call > 1 else P(data_axis),
+    )
     rng_sharding = NamedSharding(mesh, P())
     metrics_sharding = NamedSharding(mesh, P())
 

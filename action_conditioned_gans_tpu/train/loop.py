@@ -52,8 +52,14 @@ def build_step_and_state(cfg: Config, mesh=None):
 
 
 def batch_shardings(cfg: Config, mesh, with_state: bool = True):
-    """NamedSharding pytree for the clip batch (leading dim over 'data')."""
-    s = NamedSharding(mesh, P(mesh.axis_names[0]))
+    """NamedSharding pytree for the clip batch: batch dim over 'data' (the
+    leading steps_per_call axis, when present, is unsharded)."""
+    spec = (
+        P(None, mesh.axis_names[0])
+        if cfg.train.steps_per_call > 1
+        else P(mesh.axis_names[0])
+    )
+    s = NamedSharding(mesh, spec)
     out = {"frames": s, "actions": s}
     if with_state:
         out["states"] = s
@@ -93,7 +99,8 @@ def train(
         start = int(np.asarray(state.step))
         print(f"[acgan] resumed from checkpoint at step {start}")
 
-    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh))
+    k = max(t.steps_per_call, 1)
+    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh), stack=k)
     writer = MetricWriter(os.path.join(workdir, "tb"))
     rng = jax.random.PRNGKey(t.seed + 1)
 
@@ -133,35 +140,44 @@ def train(
             step_idx, "gt_final_frame", np.asarray(held_out["frames"][:, -1])
         )
 
-    profile_at = start + 3 if profile_steps > 0 else -1
+    profile_start = start + 3 * k if profile_steps > 0 else -1
+    profile_stop = -1
+
+    def crossed(before: int, after: int, every: int) -> bool:
+        return every > 0 and (after // every) > (before // every)
 
     metrics = {}
-    for i in range(start, total):
-        if i == profile_at:
-            from action_conditioned_gans_tpu.utils import profiling
-
+    call = start // k  # keeps the synthetic stream aligned across resume
+    done = start
+    while done < total:
+        if profile_start >= 0 and done >= profile_start:
             tracedir = os.path.join(workdir, "profile")
             print(f"[acgan] capturing {profile_steps}-step trace -> {tracedir}")
             jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
             jax.profiler.start_trace(tracedir)
-        if profile_at >= 0 and i == profile_at + profile_steps:
+            profile_start, profile_stop = -1, done + profile_steps
+        if profile_stop >= 0 and done >= profile_stop:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
+            profile_stop = -1
             print("[acgan] trace captured")
-        batch = dataset.batch_at(i)
+        batch = dataset.batch_at(call)
         state, metrics = step_fn(state, batch, rng)
-        if (i + 1) % t.log_every == 0 or i == start:
+        before, done = done, done + k
+        call += 1
+        if crossed(before, done, t.log_every) or before == start:
             # Block on metrics only at log boundaries; keeps dispatch async.
-            writer.write(i + 1, jax.device_get(metrics))
+            writer.write(done, jax.device_get(metrics))
         writer.tick()
-        if (i + 1) % t.checkpoint_every == 0:
-            ckpt.save(i + 1, jax.device_get(state))
-        if t.sample_every > 0 and (i + 1) % t.sample_every == 0:
-            write_samples(i + 1)
+        if crossed(before, done, t.checkpoint_every):
+            ckpt.save(done, jax.device_get(state))
+        if crossed(before, done, t.sample_every):
+            write_samples(done)
         if preempted["flag"]:
-            print(f"[acgan] SIGTERM received: checkpointing at step {i + 1} and exiting")
-            ckpt.save(i + 1, jax.device_get(state), force=True)
+            print(f"[acgan] SIGTERM received: checkpointing at step {done} and exiting")
+            ckpt.save(done, jax.device_get(state), force=True)
             break
+    total = done
 
     signal.signal(signal.SIGTERM, prev_handler)
 
@@ -171,7 +187,10 @@ def train(
     p50 = writer.p50_latency()
     if p50:
         fps = writer.frames_per_sec(
-            t.batch_size * t.rollout_length, num_chips=mesh.size
+            t.batch_size * max(t.rollout_length, 1) * k, num_chips=mesh.size
         )
-        print(f"[acgan] p50 step latency {p50 * 1e3:.2f} ms | {fps:.1f} frames/sec/chip")
+        print(
+            f"[acgan] p50 call latency {p50 * 1e3:.2f} ms "
+            f"({k} step(s)/call) | {fps:.1f} frames/sec/chip"
+        )
     return state

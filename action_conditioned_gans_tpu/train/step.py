@@ -167,6 +167,39 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
     return train_step
 
 
+def make_multi_train_step(cfg: Config, axis_name: Optional[str] = None):
+    """k = cfg.train.steps_per_call sequential fused steps per dispatch.
+
+    ``lax.scan`` over the fused step: semantically identical to k separate
+    calls (the per-step rng still folds in state.step), but one device
+    dispatch — which matters on runtimes with per-call overhead (measured
+    2.9x throughput at k=4 via the tunneled chip). Batch leaves gain a
+    leading (k, ...) axis; returned metrics are the LAST step's.
+    """
+    step = make_train_step(cfg, axis_name)
+    k = cfg.train.steps_per_call
+    if k <= 1:
+        return step
+
+    def multi(state: TrainState, batches: Batch, rng: jax.Array):
+        def body(s, b):
+            s2, m = step(s, b, rng)
+            return s2, m
+
+        state, ms = lax.scan(body, state, batches)
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return state, last
+
+    return multi
+
+
+def stack_batches(batch: Batch, k: int) -> Batch:
+    """(k*B, ...) clip batch -> (k, B, ...) for the multi-step scan."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch
+    )
+
+
 def jit_train_step(cfg: Config):
     """Single-device jitted step with donated state (the config-1 CPU/1-chip
     path; multi-device wrappers live in ``parallel/``)."""

@@ -22,9 +22,12 @@ BASELINE_RECORD = os.path.join(REPO, "BENCH_BASELINE.json")
 # fed; frames/sec/chip normalizes the difference away only partially, so the
 # batch is recorded alongside the metric.
 BENCH_BATCH = int(os.environ.get("ACGAN_BENCH_BATCH", "64"))
-BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "30"))
+BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "32"))
 # Kernel backend: "xla" or "pallas" (fused Pallas conv/norm kernels).
 BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
+# Train steps scanned per device dispatch (amortizes per-call runtime
+# overhead; semantics identical to sequential steps).
+BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "8"))
 
 
 def main() -> int:
@@ -36,7 +39,9 @@ def main() -> int:
     cfg = get_preset("config1")
     cfg = dataclasses.replace(
         cfg,
-        train=dataclasses.replace(cfg.train, batch_size=BENCH_BATCH),
+        train=dataclasses.replace(
+            cfg.train, batch_size=BENCH_BATCH, steps_per_call=BENCH_SPC
+        ),
         model=dataclasses.replace(cfg.model, backend=BENCH_BACKEND),
     )
     stats = run_bench(cfg, steps=BENCH_STEPS)

@@ -64,3 +64,22 @@ def test_train_smoke_and_resume(tmp_path, capsys):
     assert np.isfinite(metrics["eval_psnr"])
     assert os.path.exists(tmp_path / "samples" / "pred_final_frame.png")
     assert os.path.exists(tmp_path / "samples" / "rollout_0.gif")
+
+
+def test_train_with_steps_per_call(tmp_path):
+    """Multi-step dispatch through the full loop: step counting, logging and
+    checkpoint cadence stay correct."""
+    import dataclasses
+
+    cfg = tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, steps_per_call=2, total_steps=6, checkpoint_every=4, sample_every=0
+        ),
+    )
+    state = train(cfg, max_steps=6)
+    assert int(np.asarray(state.step)) == 6
+    # resumed run continues in units of k
+    state2 = train(cfg, max_steps=8)
+    assert int(np.asarray(state2.step)) == 8

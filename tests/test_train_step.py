@@ -135,6 +135,47 @@ def test_state_conditioned_training():
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+def test_steps_per_call_equivalence():
+    """k scanned steps per dispatch == k sequential single-step dispatches."""
+    import jax.numpy as jnp
+
+    from action_conditioned_gans_tpu.train.step import make_multi_train_step, stack_batches
+
+    cfg1 = tiny_config()
+    cfg2 = tiny_config(steps_per_call=2)
+    rng = jax.random.PRNGKey(1)
+    b0, b1 = make_batch(cfg1, seed=0), make_batch(cfg1, seed=1)
+
+    s_seq = init_state(cfg1, jax.random.PRNGKey(0))
+    step1 = jit_train_step(cfg1)
+    s_seq, _ = step1(s_seq, b0, rng)
+    s_seq, m_seq = step1(s_seq, b1, rng)
+
+    s_multi = init_state(cfg2, jax.random.PRNGKey(0))
+    stacked = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), b0, b1
+    )
+    multi = jax.jit(make_multi_train_step(cfg2))
+    s_multi, m_multi = multi(s_multi, stacked, rng)
+
+    assert int(s_multi.step) == int(s_seq.step) == 2
+    np.testing.assert_allclose(float(m_seq["g_loss"]), float(m_multi["g_loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_seq.g_params),
+        jax.tree_util.tree_leaves(s_multi.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stack_batches_shape():
+    from action_conditioned_gans_tpu.train.step import stack_batches
+
+    cfg = tiny_config(batch_size=4)
+    batch = make_batch(cfg)
+    stacked = stack_batches(batch, 2)
+    assert stacked["frames"].shape[:2] == (2, 2)
+
+
 def test_disc_steps_k():
     cfg = tiny_config(disc_steps=2)
     state = init_state(cfg, jax.random.PRNGKey(0))
