@@ -27,7 +27,7 @@ BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "32"))
 BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 # Train steps scanned per device dispatch (amortizes per-call runtime
 # overhead; semantics identical to sequential steps).
-BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "8"))
+BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "32"))
 
 
 def main() -> int:
