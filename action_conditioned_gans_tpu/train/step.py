@@ -99,9 +99,29 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         flat_actions = _fold_time(actions)
         flat_states = _fold_time(states) if states is not None else None
 
+        # Real and fake transitions share one D forward (doubled batch keeps
+        # the MXU fed and halves op count). Only valid when normalization is
+        # per-sample: with kind="batch" the moments would mix real and fake
+        # statistics, changing GAN dynamics, so that mode keeps two applies.
+        batch_d = m.norm != "batch"
+
         def d_loss_fn(d_params, fake_next):
-            real_logits = d_apply(d_params, real_next, cond_frames, flat_actions, flat_states)
-            fake_logits = d_apply(d_params, fake_next, cond_frames, flat_actions, flat_states)
+            if batch_d:
+                both = jnp.concatenate([real_next, fake_next], axis=0)
+                two = lambda x: (
+                    jnp.concatenate([x, x], axis=0) if x is not None else None
+                )
+                logits = d_apply(
+                    d_params, both, two(cond_frames), two(flat_actions), two(flat_states)
+                )
+                real_logits, fake_logits = jnp.split(logits, 2, axis=0)
+            else:
+                real_logits = d_apply(
+                    d_params, real_next, cond_frames, flat_actions, flat_states
+                )
+                fake_logits = d_apply(
+                    d_params, fake_next, cond_frames, flat_actions, flat_states
+                )
             loss = L.discriminator_loss(real_logits, fake_logits)
             real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
             return loss, (real_acc, fake_acc)
