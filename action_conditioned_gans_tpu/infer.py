@@ -1,0 +1,87 @@
+"""Inference / deployment API.
+
+The reference's inference story is ``sess.run(G, feed_dict=...)`` on a
+restored checkpoint (SURVEY.md §4.2). The rebuild's equivalent is a small
+loadable predictor: restore the latest orbax checkpoint, get back jitted
+single-step and autoregressive-rollout functions with the reference's
+signatures.
+
+    from action_conditioned_gans_tpu.infer import Predictor
+    p = Predictor.from_checkpoint(cfg, "/path/workdir")
+    nxt = p.predict(frame, action)            # (B,H,W,C) -> (B,H,W,C)
+    clip = p.rollout(frame0, actions)         # (B,H,W,C),(B,T,A) -> (B,T,H,W,C)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.models import Generator
+from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
+
+
+class Predictor:
+    """Jitted generator inference over restored (or given) parameters."""
+
+    def __init__(self, cfg: Config, g_params):
+        self.cfg = cfg
+        self.g_params = g_params
+        self._gen = Generator(cfg.model)
+
+        @jax.jit
+        def _predict(params, frame, action, state):
+            return self._gen.apply({"params": params}, frame, action, state)
+
+        @jax.jit
+        def _rollout(params, frame0, actions, states):
+            b = frame0.shape[0]
+            actions_tm = jnp.moveaxis(actions, 0, 1)  # (T, B, A)
+            states_tm = (
+                jnp.moveaxis(states, 0, 1) if states is not None else None
+            )
+
+            def step(prev, xs):
+                if states_tm is None:
+                    (action,) = xs
+                    state = None
+                else:
+                    action, state = xs
+                pred = self._gen.apply({"params": params}, prev, action, state)
+                return pred.astype(prev.dtype), pred
+
+            xs = (actions_tm,) if states_tm is None else (actions_tm, states_tm)
+            _, preds = lax.scan(step, frame0, xs)
+            return jnp.moveaxis(preds, 0, 1)  # (B, T, ...)
+
+        self._predict = _predict
+        self._rollout = _rollout
+
+    # -- constructors ---------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls, cfg: Config, workdir: Optional[str] = None, step: Optional[int] = None
+    ) -> "Predictor":
+        """Restore generator params from the latest (or given) checkpoint."""
+        from action_conditioned_gans_tpu.train.state import init_state
+
+        workdir = workdir or cfg.workdir
+        template = init_state(cfg, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(f"{workdir}/checkpoints")
+        state = mgr.restore(template, step=step)
+        mgr.close()
+        return cls(cfg, state.g_params)
+
+    # -- API ------------------------------------------------------------------
+    def predict(self, frame, action, state=None):
+        """One next-frame prediction — the reference's generator signature."""
+        return self._predict(self.g_params, frame, action, state)
+
+    def rollout(self, frame0, actions, states=None):
+        """Autoregressive T-step prediction conditioned on an action sequence."""
+        return self._rollout(self.g_params, frame0, actions, states)
