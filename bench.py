@@ -21,13 +21,13 @@ BASELINE_RECORD = os.path.join(REPO, "BENCH_BASELINE.json")
 # rather than config 1's CPU-run batch 8 so one TPU chip's MXU is actually
 # fed; frames/sec/chip normalizes the difference away only partially, so the
 # batch is recorded alongside the metric.
-BENCH_BATCH = int(os.environ.get("ACGAN_BENCH_BATCH", "64"))
+BENCH_BATCH = int(os.environ.get("ACGAN_BENCH_BATCH", "128"))
 BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "32"))
 # Kernel backend: "xla" or "pallas" (fused Pallas conv/norm kernels).
 BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 # Train steps scanned per device dispatch (amortizes per-call runtime
 # overhead; semantics identical to sequential steps).
-BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "32"))
+BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "16"))
 
 
 def main() -> int:
