@@ -208,10 +208,6 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
-def _p(**kw):
-    return kw
-
-
 # The five BASELINE.json benchmark configs, verbatim mapping:
 PRESETS = {
     # 1. "64x64 single-step next-frame GAN, batch 8, synthetic pushing-style

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
-
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.data.synthetic import SyntheticClips
 

@@ -14,7 +14,6 @@ signatures.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
