@@ -124,6 +124,18 @@ def test_discriminator_unconditional_variant():
     assert disc.apply(params, frame).shape == (2,)
 
 
+def test_no_tracer_leaks():
+    """SURVEY.md §6: jax.checking_leaks in tests — the jitted model paths
+    must not capture tracers in Python state."""
+    cfg = ModelConfig(image_size=16, g_levels=2, g_base_channels=8, **CPU_CFG)
+    gen = Generator(cfg)
+    frame, action, _ = _init_io(cfg)
+    params = gen.init(jax.random.PRNGKey(0), frame, action)
+    with jax.checking_leaks():
+        out = jax.jit(lambda p, f, a: gen.apply(p, f, a))(params, frame, action)
+        jax.block_until_ready(out)
+
+
 def test_bfloat16_compute_fp32_params():
     cfg = ModelConfig(image_size=32, g_levels=3, g_base_channels=8, compute_dtype="bfloat16")
     gen = Generator(cfg)
