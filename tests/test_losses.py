@@ -1,0 +1,56 @@
+"""Loss unit tests: the softplus forms equal the naive sigmoid-CE
+definitions (the reference's losses, SURVEY.md §3 row 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from action_conditioned_gans_tpu.train import losses as L
+
+
+def naive_ce(logits, target):
+    p = jax.nn.sigmoid(logits)
+    return -(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
+
+
+def test_discriminator_loss_matches_naive_ce():
+    k = jax.random.PRNGKey(0)
+    real = jax.random.normal(k, (64,)) * 2
+    fake = jax.random.normal(jax.random.fold_in(k, 1), (64,)) * 2
+    got = float(L.discriminator_loss(real, fake))
+    want = float(jnp.mean(naive_ce(real, 1.0)) + jnp.mean(naive_ce(fake, 0.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_generator_adv_loss_matches_naive_ce():
+    fake = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 2
+    got = float(L.generator_adv_loss(fake))
+    want = float(jnp.mean(naive_ce(fake, 1.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_losses_stable_at_extreme_logits():
+    # the softplus form must not produce inf/nan where naive CE would
+    real = jnp.array([80.0, -80.0])
+    fake = jnp.array([-80.0, 80.0])
+    assert np.isfinite(float(L.discriminator_loss(real, fake)))
+    assert np.isfinite(float(L.generator_adv_loss(fake)))
+
+
+def test_reconstruction_losses():
+    a = jnp.zeros((2, 3))
+    b = jnp.full((2, 3), 2.0)
+    assert float(L.reconstruction_loss(a, b, "l2")) == 4.0
+    assert float(L.reconstruction_loss(a, b, "l1")) == 2.0
+    try:
+        L.reconstruction_loss(a, b, "huber")
+        assert False, "unknown kind must raise"
+    except ValueError:
+        pass
+
+
+def test_discriminator_accuracy():
+    real = jnp.array([1.0, -1.0, 2.0, 3.0])  # 3/4 classified real
+    fake = jnp.array([-1.0, -2.0, 1.0, -3.0])  # 3/4 classified fake
+    ra, fa = L.discriminator_accuracy(real, fake)
+    assert float(ra) == 0.75 and float(fa) == 0.75
