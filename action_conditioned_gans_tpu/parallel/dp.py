@@ -34,6 +34,12 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     sharded) and k sequential updates run per dispatch.
     """
     data_axis = mesh.axis_names[0]
+    n_data = mesh.shape[data_axis]
+    if cfg.train.batch_size % n_data:
+        raise ValueError(
+            f"train.batch_size={cfg.train.batch_size} must be divisible by "
+            f"the data mesh axis ({n_data} devices)"
+        )
     step = make_multi_train_step(cfg, axis_name=data_axis)
     batch_spec = (
         P(None, data_axis) if cfg.train.steps_per_call > 1 else P(data_axis)

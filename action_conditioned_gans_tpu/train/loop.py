@@ -100,7 +100,17 @@ def train(
         print(f"[acgan] resumed from checkpoint at step {start}")
 
     k = max(t.steps_per_call, 1)
-    dataset = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh), stack=k)
+    # Multi-host: each process reads a disjoint file shard (synthetic data is
+    # generated under jit and is inherently global). NOTE: file sources on a
+    # multi-host mesh additionally need jax.make_array_from_process_local_data
+    # for global placement — tracked in docs/ROADMAP.md (needs a real pod).
+    dataset = make_dataset(
+        cfg,
+        out_shardings=batch_shardings(cfg, mesh),
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        stack=k,
+    )
     writer = MetricWriter(os.path.join(workdir, "tb"))
     rng = jax.random.PRNGKey(t.seed + 1)
 

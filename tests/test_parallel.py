@@ -114,6 +114,15 @@ def test_gspmd_dp_tp_step_runs():
     assert any("model" in str(s) for s in map(str, specs))
 
 
+def test_indivisible_batch_raises_clearly():
+    import pytest as _pytest
+
+    cfg = tiny_config(batch_size=3)  # 3 % 8 devices != 0
+    mesh = make_mesh(cfg.mesh)
+    with _pytest.raises(ValueError, match="divisible"):
+        make_dp_train_step(cfg, mesh)
+
+
 def test_tp_param_pspec_rules():
     mk = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     assert tp_param_pspec(mk((4, 4, 8, 16)), "model", 2) == jax.sharding.PartitionSpec(
