@@ -34,6 +34,52 @@ def resolve_groups(channels: int, groups: int) -> int:
     return g
 
 
+def group_norm_epilogue_block(
+    x2d: jax.Array,  # (NB * N, C) float32, NB samples' rows, sample-major
+    scale_row: jax.Array,  # (1, C)
+    bias_row: jax.Array,  # (1, C)
+    groups: int,
+    eps: float,
+    samples: int,
+) -> jax.Array:
+    """Per-sample GroupNorm over a block of ``samples`` samples at once.
+
+    Extends the aggregation-matrix trick with a row→sample indicator: the
+    per-(sample, group) moments come from two matmuls
+    ``(NB, rows) @ (rows, C) @ (C, g)`` and broadcast back through their
+    transposes. All MXU work; no lane-dim reshapes.
+    """
+    rows, c = x2d.shape
+    if samples <= 1:
+        return group_norm_epilogue(x2d, scale_row, bias_row, groups, eps)
+    n = rows // samples
+    cg = c // groups
+
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    grp_id = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (ch_group == grp_id).astype(jnp.float32)  # (C, g)
+
+    row_sample = jax.lax.broadcasted_iota(jnp.int32, (samples, rows), 1) // n
+    samp_id = jax.lax.broadcasted_iota(jnp.int32, (samples, rows), 0)
+    rt = (row_sample == samp_id).astype(jnp.float32)  # (NB, rows)
+
+    s1 = jnp.dot(rt, x2d, preferred_element_type=jnp.float32)  # (NB, C)
+    s2 = jnp.dot(rt, x2d * x2d, preferred_element_type=jnp.float32)
+    count = float(n * cg)
+    gmean = jnp.dot(s1, m, preferred_element_type=jnp.float32) / count  # (NB, g)
+    gsq = jnp.dot(s2, m, preferred_element_type=jnp.float32) / count
+    gvar = jnp.maximum(gsq - gmean * gmean, 0.0)
+    grstd = jax.lax.rsqrt(gvar + eps)
+
+    mean_c = jnp.dot(gmean, m.T, preferred_element_type=jnp.float32)  # (NB, C)
+    rstd_c = jnp.dot(grstd, m.T, preferred_element_type=jnp.float32)
+    mean_rows = jnp.dot(rt.T, mean_c, preferred_element_type=jnp.float32)  # (rows, C)
+    rstd_rows = jnp.dot(rt.T, rstd_c, preferred_element_type=jnp.float32)
+    return (x2d - mean_rows) * rstd_rows * scale_row.astype(
+        jnp.float32
+    ) + bias_row.astype(jnp.float32)
+
+
 def group_norm_epilogue(
     x2d: jax.Array,  # (N, C) float32, N = spatial positions of ONE sample
     scale_row: jax.Array,  # (1, C)

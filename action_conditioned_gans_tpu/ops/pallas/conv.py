@@ -30,6 +30,7 @@ from action_conditioned_gans_tpu.ops.pallas.common import (
     VMEM_BUDGET,
     apply_act,
     group_norm_epilogue,
+    group_norm_epilogue_block,
     interpret_mode,
     resolve_groups,
 )
@@ -65,15 +66,25 @@ def _plan(x_shape, w_shape, stride, itemsize=4):
     # VMEM working set per program (double-buffered pipeline => x2).
     # Activations/weights live in the compute dtype (bf16 halves them);
     # slices and the accumulator are f32.
-    in_bytes = hp * wp * cin_eff * itemsize
-    slice_bytes = oh * ow * cin_eff * itemsize
-    acc_bytes = oh * ow * cout * 4
+    per_sample = (
+        hp * wp * cin_eff * itemsize  # input block
+        + oh * ow * cin_eff * itemsize  # shifted slice
+        + oh * ow * cout * 4  # f32 accumulator
+    )
     w_bytes = kk * kk * cin_eff * cout * itemsize
-    if 2 * (in_bytes + slice_bytes + acc_bytes + w_bytes) > VMEM_BUDGET:
+    if 2 * (per_sample + w_bytes) > VMEM_BUDGET:
         return None
+    # Pack as many samples per program as fit (largest divisor of b): bigger
+    # matmul M dims feed the MXU better and cut per-program overhead.
+    nb = 1
+    for cand in range(min(b, 8), 0, -1):
+        rt_bytes = cand * cand * oh * ow * 4  # row->sample indicator
+        if b % cand == 0 and 2 * (cand * per_sample + w_bytes + rt_bytes) <= VMEM_BUDGET:
+            nb = cand
+            break
     return dict(
         b=b, oh=oh, ow=ow, cout=cout, kk=kk, cin_eff=cin_eff,
-        hp=hp, wp=wp, pads=(plo, phi, qlo, qhi), k=k, stride=stride,
+        hp=hp, wp=wp, pads=(plo, phi, qlo, qhi), k=k, stride=stride, nb=nb,
     )
 
 
@@ -111,20 +122,22 @@ def _prepare_inputs(x, w, plan):
 
 def _kernel(x_ref, w_ref, scale_ref, bias_ref, o_ref, *, plan, kind, groups, eps, act, leak):
     oh, ow, cout = plan["oh"], plan["ow"], plan["cout"]
-    kk, ce = plan["kk"], plan["cin_eff"]
-    x = x_ref[0]  # (hp, wp, cin_eff)
-    acc = jnp.zeros((oh * ow, cout), jnp.float32)
+    kk, ce, nb = plan["kk"], plan["cin_eff"], plan["nb"]
+    x = x_ref[...]  # (nb, hp, wp, cin_eff)
+    acc = jnp.zeros((nb * oh * ow, cout), jnp.float32)
     for dy in range(kk):
         for dx in range(kk):
-            sl = x[dy : dy + oh, dx : dx + ow, :].reshape(oh * ow, ce)
+            sl = x[:, dy : dy + oh, dx : dx + ow, :].reshape(nb * oh * ow, ce)
             wp = w_ref[(dy * kk + dx) * ce : (dy * kk + dx + 1) * ce, :]
             acc += jnp.dot(sl, wp, preferred_element_type=jnp.float32)
 
     if kind == "group":
-        y = group_norm_epilogue(acc, scale_ref[:], bias_ref[:], groups, eps)
+        y = group_norm_epilogue_block(
+            acc, scale_ref[:], bias_ref[:], groups, eps, samples=nb
+        )
     else:
         y = acc + bias_ref[0].astype(jnp.float32)
-    o_ref[0] = apply_act(y, act, leak).reshape(oh, ow, cout).astype(o_ref.dtype)
+    o_ref[...] = apply_act(y, act, leak).reshape(nb, oh, ow, cout).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -141,17 +154,18 @@ def _make_fn(stride: int, kind: str, groups: int, eps: float, act: str, leak: fl
         )
         scale2 = (scale if scale is not None else jnp.ones((cout,), jnp.float32)).reshape(1, cout)
         bias2 = (bias if bias is not None else jnp.zeros((cout,), jnp.float32)).reshape(1, cout)
+        nb = plan["nb"]
         out = pl.pallas_call(
             kern,
-            grid=(b,),
+            grid=(b // nb,),
             in_specs=[
-                pl.BlockSpec((1, hp, wp_, ce), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, hp, wp_, ce), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(wf.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, plan["oh"], plan["ow"], cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+                (nb, plan["oh"], plan["ow"], cout), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((b, plan["oh"], plan["ow"], cout), x.dtype),
             cost_estimate=pl.CostEstimate(
