@@ -33,7 +33,12 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "tfrecord_io.cc"))
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
             check=True,
@@ -235,6 +240,14 @@ class NativeTFRecordClips:
         if not files:
             raise FileNotFoundError(f"no TFRecord files match {pattern}")
         self._files = files[host_id::num_hosts]
+        if not self._files:
+            # With repeat=True an empty shard would busy-loop forever in
+            # _records(), silently hanging this host (ADVICE r1).
+            raise ValueError(
+                f"host {host_id} of {num_hosts} gets an empty TFRecord shard: "
+                f"only {len(files)} file(s) match {pattern}; provide at least "
+                "num_hosts files (or a shared pattern per host)"
+            )
         self.batch = batch
         self.seq_len = seq_len
         self.image_size = image_size
@@ -264,15 +277,25 @@ class NativeTFRecordClips:
                 return
 
     def _resize(self, frames_f: np.ndarray) -> np.ndarray:
-        """Nearest-neighbor host resize (eval/ingest only; model-resolution
-        training data should be stored at the right size or resized on
-        device)."""
+        """Bilinear host resize matching ``tf.image.resize`` defaults
+        (half-pixel centers, no antialias), so the two file readers produce
+        the same pixels for the same records (ADVICE r1: they used to
+        diverge — nearest here vs bilinear in the tf.data path)."""
         if self.image_size == self.raw_image_size:
             return frames_f
-        idx = (
-            np.arange(self.image_size) * self.raw_image_size // self.image_size
+        out, in_sz = self.image_size, self.raw_image_size
+        src = (np.arange(out, dtype=np.float64) + 0.5) * (in_sz / out) - 0.5
+        lo = np.floor(src).astype(np.int64)
+        frac = (src - lo).astype(frames_f.dtype)
+        lo_c = np.clip(lo, 0, in_sz - 1)
+        hi_c = np.clip(lo + 1, 0, in_sz - 1)
+        # rows, then columns (separable kernel)
+        a = frames_f[:, lo_c] * (1 - frac)[None, :, None, None] + (
+            frames_f[:, hi_c] * frac[None, :, None, None]
         )
-        return frames_f[:, idx][:, :, idx]
+        return a[:, :, lo_c] * (1 - frac)[None, None, :, None] + (
+            a[:, :, hi_c] * frac[None, None, :, None]
+        )
 
     def batch_at(self, index) -> Dict[str, object]:
         del index  # stream-ordered, like the tf.data reader

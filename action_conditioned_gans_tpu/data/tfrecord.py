@@ -69,6 +69,14 @@ class TFRecordClips:
         if not files:
             raise FileNotFoundError(f"no TFRecord files match {pattern}")
         self._files = files[host_id::num_hosts]
+        if not self._files:
+            # An empty per-host shard would make tf.data block/complain far
+            # from the cause; fail loudly at construction (ADVICE r1).
+            raise ValueError(
+                f"host {host_id} of {num_hosts} gets an empty TFRecord shard: "
+                f"only {len(files)} file(s) match {pattern}; provide at least "
+                "num_hosts files (or a shared pattern per host)"
+            )
         self.batch = batch
         self.seq_len = seq_len
         self.image_size = image_size
@@ -120,7 +128,7 @@ class TFRecordClips:
                 )
             return img
 
-        def parse(record):
+        def parse(index, record):
             ex = tf.io.parse_single_example(record, feature_spec)
             frames = tf.stack(
                 [decode_frame(ex[f"{t}/{self.image_key}/encoded"]) for t in range(T)]
@@ -137,9 +145,20 @@ class TFRecordClips:
 
             # Random seq_len window; actions/states align with the *source*
             # frame of each transition: action[t] maps frame[t] -> frame[t+1].
+            # Stateless, keyed on (seed, stream index): the documented
+            # resume-exactness story ("shuffle seed + step count") only holds
+            # if the window draw is seeded too (ADVICE r1).
             max_start = T - self.seq_len
             start = (
-                tf.random.uniform([], 0, max_start + 1, dtype=tf.int32)
+                tf.random.stateless_uniform(
+                    [],
+                    seed=tf.stack(
+                        [tf.constant(self.seed, tf.int64), tf.cast(index, tf.int64)]
+                    ),
+                    minval=0,
+                    maxval=max_start + 1,
+                    dtype=tf.int32,
+                )
                 if max_start > 0
                 else 0
             )
@@ -153,6 +172,7 @@ class TFRecordClips:
         if self.repeat:
             ds = ds.repeat()
         ds = ds.shuffle(self.shuffle_buffer, seed=self.seed)
+        ds = ds.enumerate()  # stream position keys the stateless window draw
         ds = ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(self.batch, drop_remainder=True)
         ds = ds.prefetch(tf.data.AUTOTUNE)

@@ -91,5 +91,5 @@ class Discriminator(nn.Module):
             jnp.float32,
         )
         b_out = self.param("logit_bias", nn.initializers.zeros, (1,), jnp.float32)
-        logit = ops.dense(x, w_out, b_out, backend=cfg.backend)
+        logit = ops.dense(x, w_out, b_out)  # XLA-only op (see ops.api.dense)
         return logit[:, 0].astype(jnp.float32)

@@ -125,23 +125,28 @@ def train(
 
     # Periodic held-out sampling -> eval scalars + TensorBoard image
     # summaries (the reference's periodic image summaries, SURVEY.md §6).
+    # The held-out stream comes from the CONFIGURED data source (ADVICE r1:
+    # evaluating synthetic clips while training on BAIR TFRecords made the
+    # eval scalars misleading); synthetic held-out clips are seeded
+    # disjointly from the training stream inside held_out_batches.
     sample_fn = None
+    held_out_stream = None
 
     def write_samples(step_idx: int) -> None:
-        nonlocal sample_fn
-        from action_conditioned_gans_tpu.data import generate_clips
-        from action_conditioned_gans_tpu.train.sample import eval_metrics, make_rollout_fn
+        nonlocal sample_fn, held_out_stream
+        from action_conditioned_gans_tpu.train.sample import (
+            eval_metrics,
+            held_out_batches,
+            make_rollout_fn,
+        )
 
+        horizon = max(t.rollout_length, 1)
         if sample_fn is None:
             sample_fn = make_rollout_fn(cfg)
-        horizon = max(t.rollout_length, 1)
-        held_out = generate_clips(
-            jax.random.PRNGKey(t.seed + 7919),  # disjoint from training stream
-            min(8, t.batch_size),
-            horizon + 1,
-            cfg.model.image_size,
-            cfg.model.action_dim,
-        )
+            held_out_stream = held_out_batches(
+                cfg, min(8, t.batch_size), horizon, t.seed + 7919
+            )
+        held_out = next(held_out_stream)
         preds = sample_fn(state.g_params, held_out, jax.random.PRNGKey(0))
         em = eval_metrics(preds, held_out["frames"][:, 1:])
         writer.write(step_idx, em)
@@ -159,37 +164,43 @@ def train(
     metrics = {}
     call = start // k  # keeps the synthetic stream aligned across resume
     done = start
-    while done < total:
-        if profile_start >= 0 and done >= profile_start:
-            tracedir = os.path.join(workdir, "profile")
-            print(f"[acgan] capturing {profile_steps}-step trace -> {tracedir}")
-            jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
-            jax.profiler.start_trace(tracedir)
-            profile_start, profile_stop = -1, done + profile_steps
-        if profile_stop >= 0 and done >= profile_stop:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            profile_stop = -1
-            print("[acgan] trace captured")
-        batch = dataset.batch_at(call)
-        state, metrics = step_fn(state, batch, rng)
-        before, done = done, done + k
-        call += 1
-        if crossed(before, done, t.log_every) or before == start:
-            # Block on metrics only at log boundaries; keeps dispatch async.
-            writer.write(done, jax.device_get(metrics))
-        writer.tick()
-        if crossed(before, done, t.checkpoint_every):
-            ckpt.save(done, jax.device_get(state))
-        if crossed(before, done, t.sample_every):
-            write_samples(done)
-        if preempted["flag"]:
-            print(f"[acgan] SIGTERM received: checkpointing at step {done} and exiting")
-            ckpt.save(done, jax.device_get(state), force=True)
-            break
-    total = done
-
-    signal.signal(signal.SIGTERM, prev_handler)
+    try:
+        while done < total:
+            if profile_start >= 0 and done >= profile_start:
+                tracedir = os.path.join(workdir, "profile")
+                print(f"[acgan] capturing {profile_steps}-step trace -> {tracedir}")
+                jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
+                jax.profiler.start_trace(tracedir)
+                profile_start, profile_stop = -1, done + profile_steps
+            if profile_stop >= 0 and done >= profile_stop:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profile_stop = -1
+                print("[acgan] trace captured")
+            batch = dataset.batch_at(call)
+            state, metrics = step_fn(state, batch, rng)
+            before, done = done, done + k
+            call += 1
+            if crossed(before, done, t.log_every) or before == start:
+                # Block on metrics only at log boundaries; keeps dispatch async.
+                writer.write(done, jax.device_get(metrics))
+            writer.tick()
+            if crossed(before, done, t.checkpoint_every):
+                ckpt.save(done, jax.device_get(state))
+            if crossed(before, done, t.sample_every):
+                write_samples(done)
+            if preempted["flag"]:
+                print(f"[acgan] SIGTERM received: checkpointing at step {done} and exiting")
+                ckpt.save(done, jax.device_get(state), force=True)
+                break
+        total = done
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
+        dataset_close = getattr(dataset, "close", None)
+        if dataset_close is not None:
+            dataset_close()
+        if held_out_stream is not None:
+            held_out_stream.close()  # drops any file-source Prefetcher it holds
 
     if total > start and ckpt.latest_step() != total:
         ckpt.save(total, jax.device_get(state), force=True)
@@ -199,8 +210,13 @@ def train(
         fps = writer.frames_per_sec(
             t.batch_size * max(t.rollout_length, 1) * k, num_chips=mesh.size
         )
+        # Ticks are taken right after ASYNC dispatch; on the tunneled TPU a
+        # readiness event is not a completion barrier (CLAUDE.md rule 1), so
+        # this is host dispatch cadence, not device step latency. True-barrier
+        # numbers come from `acgan bench` / bench.py only (ADVICE r1).
         print(
-            f"[acgan] p50 call latency {p50 * 1e3:.2f} ms "
-            f"({k} step(s)/call) | {fps:.1f} frames/sec/chip"
+            f"[acgan] p50 dispatch cadence {p50 * 1e3:.2f} ms "
+            f"({k} step(s)/call) | ~{fps:.1f} frames/sec/chip "
+            "(dispatch-cadence estimate; use `bench` for true-barrier perf)"
         )
     return state

@@ -78,12 +78,52 @@ def main() -> int:
         "batch": BENCH_BATCH,
         "device": stats["device"],
     }
+    if "roofline_utilization_analytic" in stats:
+        # The honest utilization: analytic MXU FLOPs (transpose convs priced
+        # without dilation zeros) / true-barrier latency / hardware peak.
+        out["roofline_utilization_analytic"] = round(
+            stats["roofline_utilization_analytic"], 4
+        )
+        out["achieved_tflops_per_chip_analytic"] = round(
+            stats["achieved_tflops_per_chip_analytic"], 2
+        )
     if "roofline_utilization" in stats:
+        # XLA-cost-model variant, kept for cross-round comparability only
+        # (over-counts transpose convs; can exceed 1.0).
         out["roofline_utilization"] = round(stats["roofline_utilization"], 4)
         out["achieved_tflops_per_chip"] = round(stats["achieved_tflops_per_chip"], 2)
     print(json.dumps(out))
     return 0
 
 
+def run_presets() -> int:
+    """Per-preset true-barrier measurements -> BENCH_PRESETS.json (VERDICT r1
+    next-step 9: machine-readable per-round perf record, diffable across
+    rounds). Rollout presets keep their preset geometry; batch/steps_per_call
+    follow the preset's own values."""
+    import dataclasses
+
+    from action_conditioned_gans_tpu.bench import run_bench
+    from action_conditioned_gans_tpu.config import PRESETS, get_preset
+
+    results = {}
+    for name in PRESETS:
+        cfg = get_preset(name)
+        steps = 12 if cfg.train.rollout_length > 1 or cfg.model.image_size > 64 else 24
+        try:
+            stats = run_bench(cfg, steps=steps)
+        except Exception as e:  # record the failure, keep measuring the rest
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            continue
+        results[name] = {
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in stats.items()
+        }
+        print(f"[bench] {name}: {results[name].get('frames_per_sec_per_chip')} f/s/chip")
+    with open(os.path.join(REPO, "BENCH_PRESETS.json"), "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps({"presets_recorded": list(results)}))
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run_presets() if "--presets" in sys.argv else main())

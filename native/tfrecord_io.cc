@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 #include <string>
 #include <vector>
 
@@ -239,7 +240,23 @@ long acgan_reader_next(Reader* r, const uint8_t** data) {
   uint32_t lcrc;
   memcpy(&lcrc, hdr + 8, 4);
   if (masked_crc(hdr, 8) != lcrc) return -1;
-  r->buf.resize(len);
+  // The length is untrusted even when its CRC checks out (corruption can
+  // produce a self-consistent header). Cap it against the bytes actually
+  // remaining in the file (payload + 4-byte data CRC must fit) and guard
+  // the allocation: this is a C ABI entry point, so a bad_alloc escaping
+  // here would std::terminate the host process instead of returning the
+  // -1 corruption code (ADVICE r1).
+  long pos = ftell(r->f);
+  if (pos < 0 || fseek(r->f, 0, SEEK_END) != 0) return -1;
+  long file_end = ftell(r->f);
+  if (file_end < 0 || fseek(r->f, pos, SEEK_SET) != 0) return -1;
+  uint64_t remaining = (uint64_t)(file_end - pos);
+  if (remaining < 4 || len > remaining - 4) return -1;
+  try {
+    r->buf.resize(len);
+  } catch (...) {
+    return -1;
+  }
   if (fread(r->buf.data(), 1, len, r->f) != len) return -1;
   uint8_t crcbuf[4];
   if (fread(crcbuf, 1, 4, r->f) != 4) return -1;

@@ -1,12 +1,17 @@
 """Bench harness tests (CPU): the windowed-throughput measurement runs and
-reports sane fields on a tiny config."""
+reports sane fields on a tiny config; the analytic FLOP counter prices
+convs/matmuls honestly (no dilation zeros)."""
 
 import dataclasses
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from action_conditioned_gans_tpu.bench import run_bench
 from action_conditioned_gans_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from action_conditioned_gans_tpu.ops import xla as ops_xla
+from action_conditioned_gans_tpu.utils.profiling import analytic_matmul_flops
 
 
 def test_run_bench_tiny():
@@ -31,3 +36,65 @@ def test_run_bench_tiny():
     assert stats["frames_per_sec_per_chip"] > 0
     assert np.isfinite(stats["compile_s"])
     assert stats["num_chips"] == 1
+    assert stats["step_tflops_analytic"] > 0
+
+
+def test_analytic_flops_conv_forward():
+    n, h, w, cin, cout, k, s = 2, 16, 16, 8, 16, 4, 2
+    x = jnp.zeros((n, h, w, cin))
+    wgt = jnp.zeros((k, k, cin, cout))
+    got = analytic_matmul_flops(lambda a, b: ops_xla.conv2d(a, b, stride=s), x, wgt)
+    expect = 2 * n * (h // s) * (w // s) * k * k * cin * cout
+    assert got == expect
+
+
+def test_analytic_flops_conv_transpose_prices_no_zeros():
+    """A stride-2 transpose conv does the same real arithmetic as counting
+    (input pixel x kernel tap) pairs: 2*N*Hin*Win*K^2*Cin*Cout — NOT the
+    4x-larger number the dilated-input view suggests."""
+    n, h, w, cin, cout, k, s = 2, 8, 8, 16, 8, 4, 2
+    x = jnp.zeros((n, h, w, cin))
+    wgt = jnp.zeros((k, k, cin, cout))
+    got = analytic_matmul_flops(
+        lambda a, b: ops_xla.conv2d_transpose(a, b, stride=s), x, wgt
+    )
+    expect = 2 * n * h * w * k * k * cin * cout
+    assert got == expect
+
+
+def test_analytic_flops_grad_is_3x_forward():
+    """fwd + backward-data + backward-weights each cost ~1 forward; the
+    dilated backward-data conv must not be over-priced."""
+    n, h, w, cin, cout, k, s = 2, 16, 16, 8, 16, 4, 2
+    x = jnp.ones((n, h, w, cin))
+    wgt = jnp.ones((k, k, cin, cout)) * 0.01
+
+    def loss(a, b):
+        return jnp.sum(ops_xla.conv2d(a, b, stride=s) ** 2)
+
+    fwd = analytic_matmul_flops(loss, x, wgt)
+    total = analytic_matmul_flops(jax.value_and_grad(loss, argnums=(0, 1)), x, wgt)
+    assert abs(total - 3 * fwd) / fwd < 0.05
+
+
+def test_analytic_flops_scan_multiplies_by_length():
+    wgt = jnp.zeros((3, 3, 4, 4))
+    x0 = jnp.zeros((1, 8, 8, 4))
+
+    def scanned(x, w):
+        def body(c, _):
+            return ops_xla.conv2d(c, w, stride=1), None
+
+        out, _ = jax.lax.scan(body, x, None, length=5)
+        return out
+
+    one = analytic_matmul_flops(lambda x, w: ops_xla.conv2d(x, w, stride=1), x0, wgt)
+    five = analytic_matmul_flops(scanned, x0, wgt)
+    assert five == 5 * one
+
+
+def test_analytic_flops_dot_general():
+    a = jnp.zeros((32, 64))
+    b = jnp.zeros((64, 16))
+    got = analytic_matmul_flops(jnp.matmul, a, b)
+    assert got == 2 * 32 * 64 * 16

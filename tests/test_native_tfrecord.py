@@ -86,6 +86,76 @@ def test_corruption_detected(tmp_path):
         list(read_clips(path, n_steps=6, height=16, width=16))
 
 
+def test_empty_host_shard_raises(tmp_path):
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(n=1)
+    write_clips_tfrecord_native(path, frames, actions, states)
+    with pytest.raises(ValueError, match="empty TFRecord shard"):
+        NativeTFRecordClips(
+            data_dir=str(tmp_path),
+            batch=1,
+            seq_len=2,
+            image_size=16,
+            clip_len=6,
+            raw_image_size=16,
+            host_id=1,
+            num_hosts=2,
+        )
+
+
+def _masked_crc32c(data: bytes) -> int:
+    # Same table CRC32C + TFRecord masking as the C++ side (test-local copy).
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (0x82F63B78 ^ (crc >> 1)) if crc & 1 else crc >> 1
+    crc ^= 0xFFFFFFFF
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def test_huge_length_header_is_corruption_not_crash(tmp_path):
+    """A record header whose 64-bit length is huge but whose length-CRC is
+    self-consistent must surface as the -1 corruption code (IOError here),
+    not a bad_alloc/std::terminate across the C ABI (ADVICE r1)."""
+    import struct
+
+    path = str(tmp_path / "evil.tfrecord")
+    length = struct.pack("<Q", 1 << 60)
+    hdr = length + struct.pack("<I", _masked_crc32c(length))
+    with open(path, "wb") as f:
+        f.write(hdr + b"\x00" * 64)
+    with pytest.raises(IOError):
+        list(read_clips(path, n_steps=6, height=16, width=16))
+
+
+def test_reader_resize_parity_with_tf(tmp_path):
+    """The two file readers must produce the SAME pixels for the same records
+    when image_size != raw_image_size (ADVICE r1: they used nearest vs
+    bilinear). Full-length window + shuffle_buffer=1 pins order."""
+    pytest.importorskip("tensorflow")
+    from action_conditioned_gans_tpu.data.tfrecord import TFRecordClips
+
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(n=3, t=4, hw=16, seed=5)
+    write_clips_tfrecord_native(path, frames, actions, states)
+    kwargs = dict(
+        data_dir=str(tmp_path),
+        batch=3,
+        seq_len=4,
+        image_size=8,
+        clip_len=4,
+        raw_image_size=16,
+        seed=0,
+        repeat=False,
+    )
+    native = NativeTFRecordClips(**kwargs)
+    tfds = TFRecordClips(shuffle_buffer=1, **kwargs)
+    f_native = np.asarray(native.batch_at(0)["frames"])
+    f_tf = np.asarray(tfds.batch_at(0)["frames"])
+    np.testing.assert_allclose(f_native, f_tf, atol=2e-5)
+
+
 def test_native_clips_batch_contract(tmp_path):
     path = str(tmp_path / "clips.tfrecord")
     frames, actions, states = fixture_arrays(n=4, t=8)
