@@ -49,6 +49,12 @@ def step_cost_flops(compiled) -> Optional[float]:
         return None
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]:
     spc = max(cfg.train.steps_per_call, 1)
     mesh, state, step_fn = build_step_and_state(cfg)
@@ -97,9 +103,21 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
     # value back to the host is: the window timer queues N steps and ends
     # with a scalar device_get. Any still-hidden tail lands in the next
     # window, so across 3 windows the p50 cannot under-report.
+    #
+    # The dispatch->device_get round trip itself costs a FIXED ~26 ms on the
+    # tunnel (measured r2; a pure device_get of fetched data is ~20 us), so
+    # the window subtracts a measured empty-round-trip constant — without
+    # this every window over-reports by rt/(n_calls*spc) per step.
     k = min(4, steps)
     cached = [dataset.batch_at(warmup + i) for i in range(k)]
     jax.block_until_ready(cached)
+
+    _noop = jax.jit(lambda s: s + 1.0)
+    _zero = jax.device_put(np.float32(0.0), jax.devices()[0])
+    float(jax.device_get(_noop(_zero)))  # compile
+    rt = min(
+        _timed(lambda: float(jax.device_get(_noop(_zero)))) for _ in range(5)
+    )
 
     def window(n_calls: int) -> float:
         """Per-STEP latency over a window of n_calls dispatches."""
@@ -110,7 +128,9 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
             state, m = step_fn(state, cached[i % k], rng)
         float(jax.device_get(m["d_loss"]))  # true completion barrier
         jax.block_until_ready(state)
-        return (time.perf_counter() - t0) / (n_calls * spc)
+        elapsed = time.perf_counter() - t0
+        # Never subtract below half the raw reading (guards tiny-rt hosts).
+        return max(elapsed - rt, elapsed * 0.5) / (n_calls * spc)
 
     window(max(2, steps // 4))  # extra warm window
     lat = np.array([window(max(steps // 3, 2)) for _ in range(3)])
@@ -128,6 +148,7 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
         "num_chips": n_chips,
         "p50_step_latency_ms": p50 * 1e3,
         "p90_step_latency_ms": float(np.percentile(lat, 90)) * 1e3,
+        "barrier_round_trip_ms": rt * 1e3,
         "frames_per_sec_per_chip": fps_chip,
         "compile_s": compile_s,
         "device": jax.devices()[0].device_kind,
