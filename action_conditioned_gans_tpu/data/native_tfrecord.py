@@ -312,16 +312,15 @@ class NativeTFRecordClips:
             fs.append(self._resize(f))
             as_.append(actions[s : s + self.seq_len - 1])
             ss.append(states[s : s + self.seq_len - 1])
+        del jax  # placement is centralized in data.pipeline.place_batch
+        from action_conditioned_gans_tpu.data.pipeline import place_batch
+
         out = {
             "frames": np.stack(fs),
             "actions": np.stack(as_),
             "states": np.stack(ss),
         }
-        if self._out_shardings is not None:
-            return {
-                k: jax.device_put(v, self._out_shardings[k]) for k, v in out.items()
-            }
-        return {k: jax.numpy.asarray(v) for k, v in out.items()}
+        return place_batch(out, self._out_shardings)
 
     def __iter__(self):
         i = 0

@@ -15,6 +15,31 @@ from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.data.synthetic import SyntheticClips
 
 
+def place_batch(np_batch, out_shardings):
+    """Host batch -> device placement, multi-host aware (SURVEY.md §8
+    hard-part 4; VERDICT r1 next-step 5).
+
+    Single process: a plain sharded device_put. Multi-process: each process
+    holds only its LOCAL batch shard (the per-host file reader yields
+    batch_size/num_hosts clips), and
+    ``jax.make_array_from_process_local_data`` assembles the global jax.Array
+    the pjit/shard_map step expects — local shards stay on their host's
+    devices; no cross-host data movement.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if out_shardings is None:
+        return {k: jnp.asarray(v) for k, v in np_batch.items()}
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(out_shardings[k], np.asarray(v))
+            for k, v in np_batch.items()
+        }
+    return {k: jax.device_put(v, out_shardings[k]) for k, v in np_batch.items()}
+
+
 class Prefetcher:
     """Background-thread double buffering for host-side (file) sources.
 
@@ -115,11 +140,7 @@ class StackSteps:
         out = {
             key: np.stack([p[key] for p in parts]) for key in parts[0]
         }
-        if self._shardings is not None:
-            return {
-                key: jax.device_put(v, self._shardings[key]) for key, v in out.items()
-            }
-        return {key: jax.numpy.asarray(v) for key, v in out.items()}
+        return place_batch(out, self._shardings)
 
     def __iter__(self):
         i = 0
@@ -151,6 +172,17 @@ def make_dataset(
     """
     d, t, m = cfg.data, cfg.train, cfg.model
     seq_len = t.rollout_length + 1
+    # File sources on a multi-host mesh: each host reads its file shard AND
+    # only its share of the global batch; place_batch assembles the global
+    # array (SURVEY.md §8 hard-part 4).
+    local_batch = t.batch_size
+    if num_hosts > 1 and d.source != "synthetic":
+        if t.batch_size % num_hosts:
+            raise ValueError(
+                f"batch_size={t.batch_size} must be divisible by "
+                f"num_hosts={num_hosts} for file sources"
+            )
+        local_batch = t.batch_size // num_hosts
     if d.source == "synthetic":
         return SyntheticClips(
             batch=t.batch_size,
@@ -167,7 +199,7 @@ def make_dataset(
 
         return _wrap_host_source(tfrecord.TFRecordClips(
             data_dir=d.data_dir,
-            batch=t.batch_size,
+            batch=local_batch,
             seq_len=seq_len,
             image_size=m.image_size,
             action_dim=m.action_dim,
@@ -186,7 +218,7 @@ def make_dataset(
 
         return _wrap_host_source(native_tfrecord.NativeTFRecordClips(
             data_dir=d.data_dir,
-            batch=t.batch_size,
+            batch=local_batch,
             seq_len=seq_len,
             image_size=m.image_size,
             action_dim=m.action_dim,

@@ -180,11 +180,9 @@ class TFRecordClips:
 
     # -- iterator protocol ----------------------------------------------------
     def _place(self, np_batch: Dict[str, np.ndarray]):
-        if self._out_shardings is None:
-            return {k: jax.numpy.asarray(v) for k, v in np_batch.items()}
-        return {
-            k: jax.device_put(v, self._out_shardings[k]) for k, v in np_batch.items()
-        }
+        from action_conditioned_gans_tpu.data.pipeline import place_batch
+
+        return place_batch(np_batch, self._out_shardings)
 
     def batch_at(self, index) -> Dict[str, jax.Array]:
         """Stream-ordered: TFRecords are not random-access, so the index is

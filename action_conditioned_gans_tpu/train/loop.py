@@ -44,6 +44,13 @@ def build_step_and_state(cfg: Config, mesh=None):
             cfg, model=dataclasses.replace(cfg.model, backend="xla")
         )
     state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    if jax.process_count() > 1:
+        # Multi-controller: jit inputs must be GLOBAL arrays. init_state's
+        # leaves are committed to this process's device 0; re-place them
+        # (identical on every process — same seed) replicated over the
+        # global mesh via host round-trip.
+        state = jax.tree_util.tree_map(np.asarray, state)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
     if mesh.shape[mesh.axis_names[1]] > 1:
         step_fn = make_gspmd_train_step(cfg, mesh, state)
     else:
@@ -100,10 +107,9 @@ def train(
         print(f"[acgan] resumed from checkpoint at step {start}")
 
     k = max(t.steps_per_call, 1)
-    # Multi-host: each process reads a disjoint file shard (synthetic data is
-    # generated under jit and is inherently global). NOTE: file sources on a
-    # multi-host mesh additionally need jax.make_array_from_process_local_data
-    # for global placement — tracked in docs/ROADMAP.md (needs a real pod).
+    # Multi-host: each process reads a disjoint file shard and its share of
+    # the global batch; data.pipeline.place_batch assembles the global array
+    # (synthetic data is generated under jit and is inherently global).
     dataset = make_dataset(
         cfg,
         out_shardings=batch_shardings(cfg, mesh),

@@ -27,7 +27,11 @@ from jax import lax
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.models import Discriminator, Generator
 from action_conditioned_gans_tpu.train import losses as L
-from action_conditioned_gans_tpu.train.rollout import rollout_generator, scheduled_sampling_prob
+from action_conditioned_gans_tpu.train.rollout import (
+    rollout_generator,
+    rollout_teacher_forced,
+    scheduled_sampling_prob,
+)
 from action_conditioned_gans_tpu.train.state import TrainState, make_optimizers
 
 Batch = Dict[str, jax.Array]
@@ -81,7 +85,23 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         ss_prob = scheduled_sampling_prob(state.step, t)
 
         def predict(g_params, key):
-            """(B, T, H, W, C) generator rollout."""
+            """(B, T, H, W, C) generator rollout.
+
+            Teacher forcing (scheduled_sampling off — a STATIC config bit)
+            has no step-to-step dependency, so the rollout folds into one
+            (B*T) batched forward instead of a T-step scan: identical math,
+            T x larger conv batches (VERDICT r1 next-step 4).
+            """
+            if not t.scheduled_sampling:
+                return rollout_teacher_forced(
+                    g_apply,
+                    g_params,
+                    frames,
+                    actions,
+                    states,
+                    time_chunk=t.rollout_time_chunk,
+                    remat=t.remat_rollout,
+                )
             return rollout_generator(
                 g_apply,
                 g_params,

@@ -1,0 +1,127 @@
+"""Multi-host file-source training without a pod (VERDICT r1 next-step 5).
+
+Spawns TWO jax.distributed processes on localhost (2 virtual CPU devices
+each -> a 4-device global 'data' mesh). Each process reads a DISJOINT
+TFRecord file shard and its half of the global batch; placement goes
+through jax.make_array_from_process_local_data. One fused DP train step
+must run and produce the same finite loss on both processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+try:
+    from action_conditioned_gans_tpu.data.native_tfrecord import (
+        load_library,
+        write_clips_tfrecord_native,
+    )
+
+    load_library()
+    HAVE_NATIVE = True
+except Exception:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native lib unavailable")
+
+_WORKER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:{port}", num_processes=2, process_id={pid},
+)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+import numpy as np
+from action_conditioned_gans_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from action_conditioned_gans_tpu.data import make_dataset
+from action_conditioned_gans_tpu.train.loop import batch_shardings, build_step_and_state
+
+cfg = Config(
+    name="mh-test",
+    model=ModelConfig(image_size=16, g_levels=2, g_base_channels=8,
+                      d_levels=2, d_base_channels=8, group_norm_groups=4,
+                      compute_dtype="float32"),
+    data=DataConfig(source="tfrecord_native", data_dir={data_dir!r},
+                    seq_len=3, clip_len=4, raw_image_size=16),
+    train=TrainConfig(batch_size=8, rollout_length=2, seed=0),
+    mesh=MeshConfig(data=-1, model=1),
+)
+mesh, state, step_fn = build_step_and_state(cfg)
+assert dict(mesh.shape) == {{"data": 4, "model": 1}}, dict(mesh.shape)
+ds = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh),
+                  host_id=jax.process_index(), num_hosts=jax.process_count())
+batch = ds.batch_at(0)
+assert batch["frames"].shape == (8, 3, 16, 16, 3), batch["frames"].shape  # GLOBAL
+rng = jax.random.PRNGKey(1)
+state, metrics = step_fn(state, batch, rng)
+loss = float(jax.device_get(metrics["g_loss"]))
+assert np.isfinite(loss)
+ds.close()
+print("MHLOSS", loss)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_file_source_train_step(tmp_path):
+    # Two files -> each process's shard is exactly one file.
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        frames = rng.randint(0, 256, size=(6, 4, 16, 16, 3), dtype=np.uint8)
+        actions = rng.randn(6, 4, 4).astype(np.float32)
+        states = rng.randn(6, 4, 3).astype(np.float32)
+        write_clips_tfrecord_native(
+            str(tmp_path / f"clips_{i}.tfrecord"), frames, actions, states
+        )
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             _WORKER.format(repo=REPO, port=port, pid=pid, data_dir=str(tmp_path))],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:\n{out}\nstderr:\n{err}"
+    losses = [
+        float(line.split()[1])
+        for rc, out, err in outs
+        for line in out.splitlines()
+        if line.startswith("MHLOSS")
+    ]
+    assert len(losses) == 2
+    # pmean'd metrics are replicated: both controllers must agree exactly.
+    assert losses[0] == losses[1]
