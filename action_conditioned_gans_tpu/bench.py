@@ -18,9 +18,10 @@ import numpy as np
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.data import make_dataset
 from action_conditioned_gans_tpu.train.loop import batch_shardings, build_step_and_state
-from action_conditioned_gans_tpu.utils.profiling import analytic_matmul_flops
+from action_conditioned_gans_tpu.utils.profiling import analytic_matmul_cost
 
-# Peak MXU throughput per chip, bf16 FLOP/s (for roofline accounting only).
+# Peak MXU throughput (bf16 FLOP/s) and HBM bandwidth per chip, for
+# roofline accounting only.
 _PEAK_FLOPS = {
     "TPU v4": 275e12,
     "TPU v5 lite": 197e12,  # v5e
@@ -28,14 +29,25 @@ _PEAK_FLOPS = {
     "TPU v6 lite": 918e12,
     "cpu": 1e11,
 }
+_HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v5": 2765e9,  # v5p
+    "TPU v6 lite": 1640e9,
+    "cpu": 50e9,
+}
+
+
+def _device_key() -> str:
+    kind = jax.devices()[0].device_kind
+    for name in _PEAK_FLOPS:
+        if name != "cpu" and name.lower() in kind.lower():
+            return name
+    return "cpu" if jax.default_backend() == "cpu" else "TPU v4"
 
 
 def _device_peak_flops() -> float:
-    kind = jax.devices()[0].device_kind
-    for name, peak in _PEAK_FLOPS.items():
-        if name.lower() in kind.lower():
-            return peak
-    return _PEAK_FLOPS["cpu"] if jax.default_backend() == "cpu" else 275e12
+    return _PEAK_FLOPS[_device_key()]
 
 
 def step_cost_flops(compiled) -> Optional[float]:
@@ -87,9 +99,16 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
             )
             _, count_state, count_step = build_step_and_state(xcfg, mesh=mesh)
         flops = step_cost_flops(count_step.lower(count_state, batch, rng).compile())
-        analytic_flops = analytic_matmul_flops(count_step, count_state, batch, rng)
+        analytic_flops, matmul_time_floor = analytic_matmul_cost(
+            count_step,
+            count_state,
+            batch,
+            rng,
+            peak_flops=_PEAK_FLOPS[_device_key()],
+            hbm_bw=_HBM_BW[_device_key()],
+        )
     except Exception:
-        pass
+        matmul_time_floor = None
 
     for i in range(1, warmup):
         state, metrics = step_fn(state, dataset.batch_at(i), rng)
@@ -157,12 +176,20 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
     if analytic_flops:
         # Per-dispatch FLOPs -> per-step (steps_per_call fused steps/dispatch
         # are already amortized in p50 because window() divides by spc, and
-        # analytic_matmul_flops counts the whole k-step scan — so divide).
+        # analytic_matmul_cost counts the whole k-step scan — so divide).
         per_step = analytic_flops / spc
         achieved_a = per_step / p50 / n_chips
         out["step_tflops_analytic"] = per_step / 1e12
         out["achieved_tflops_per_chip_analytic"] = achieved_a / 1e12
         out["roofline_utilization_analytic"] = achieved_a / peak
+        if matmul_time_floor:
+            # Ceiling: every conv/matmul at per-op roofline speed (HBM-bound
+            # ops cannot exceed bandwidth, so 100% MXU util is unreachable
+            # for this model no matter the kernels). Elementwise traffic is
+            # excluded — the true floor is higher, ceiling lower.
+            ceiling = (analytic_flops / matmul_time_floor) / peak
+            out["roofline_ceiling_utilization"] = ceiling
+            out["utilization_vs_ceiling"] = out["roofline_utilization_analytic"] / ceiling
     if flops:
         achieved = flops / p50 / n_chips
         out["step_tflops"] = flops / 1e12

@@ -87,6 +87,13 @@ def main() -> int:
         out["achieved_tflops_per_chip_analytic"] = round(
             stats["achieved_tflops_per_chip_analytic"], 2
         )
+    if "roofline_ceiling_utilization" in stats:
+        # Max utilization achievable with every conv/matmul at per-op
+        # roofline speed (HBM-bound ops cap it); and how close we are to it.
+        out["roofline_ceiling_utilization"] = round(
+            stats["roofline_ceiling_utilization"], 4
+        )
+        out["utilization_vs_ceiling"] = round(stats["utilization_vs_ceiling"], 4)
     if "roofline_utilization" in stats:
         # XLA-cost-model variant, kept for cross-round comparability only
         # (over-counts transpose convs; can exceed 1.0).
