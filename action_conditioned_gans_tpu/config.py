@@ -159,6 +159,17 @@ class TrainConfig:
     recon_type: str = "l2"  # "l2" | "l1"
     # D updates per G update (reference alternates 1:1, SURVEY.md §4.1).
     disc_steps: int = 1
+    # Apply each Adam update over ONE flattened parameter vector
+    # (optax.flatten) instead of ~50 per-tensor fusions. Elementwise math is
+    # unchanged (near-bitwise updates, pinned by test). Measured NEUTRAL on
+    # v5e at the 64px bench (xprof r2: the per-tensor fusions are already
+    # bandwidth-bound inside the scanned while body, and flatten's
+    # ravel/unravel copies offset the fusion win: 3.19 vs 3.17 ms/step), so
+    # it defaults off; it may pay on models with many more small tensors.
+    # Auto-disabled when the mesh has a model (TP) axis > 1, where optimizer
+    # moments must shard like their parameters. Changes the checkpointed
+    # optimizer-state layout.
+    flatten_optimizer: bool = False
 
     # Rollout training (BASELINE.json configs 2, 4, 5): number of
     # autoregressive prediction steps per example. 1 = single-step GAN.

@@ -20,6 +20,7 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -
     (v5e-16 across hosts, BASELINE.json config 5) keeps DP traffic on
     ICI within a slice and only gradient all-reduce on DCN.
     """
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     model = max(cfg.model, 1)
     if len(devices) % model:
@@ -29,8 +30,36 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -
         raise ValueError(
             f"mesh {data}x{model} needs {data * model} devices, have {len(devices)}"
         )
-    arr = np.array(devices[: data * model]).reshape(data, model)
+    arr = _arrange(devices, data, model, explicit)
     return Mesh(arr, cfg.axis_names)
+
+
+def _arrange(devices, data: int, model: int, explicit: bool) -> np.ndarray:
+    """ICI-topology-aware device layout for the (data, model) grid.
+
+    On real TPU topologies ``mesh_utils.create_device_mesh`` places the
+    inner ('model') axis on physically adjacent chips so TP collectives ride
+    single-hop ICI links, and ``create_hybrid_device_mesh`` keeps each slice's
+    devices contiguous on the data axis so only the gradient all-reduce
+    crosses DCN (multi-slice v5e-16, BASELINE.json config 5). Both fall back
+    to a plain reshape of enumeration order when the topology is unknown
+    (CPU/virtual meshes, explicit device subsets in tests).
+    """
+    if not explicit and data * model == len(devices):
+        from jax.experimental import mesh_utils
+
+        n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+        try:
+            if n_slices > 1 and data % n_slices == 0:
+                return mesh_utils.create_hybrid_device_mesh(
+                    (data // n_slices, model),
+                    (n_slices, 1),
+                    devices=devices,
+                )
+            return mesh_utils.create_device_mesh((data, model), devices=devices)
+        except Exception:
+            pass  # unknown topology (virtual/CPU) — enumeration order below
+    return np.array(devices[: data * model]).reshape(data, model)
 
 
 def batch_pspec(mesh: Mesh) -> P:

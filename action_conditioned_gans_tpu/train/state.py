@@ -30,9 +30,18 @@ class TrainState:
 
 def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
     t = cfg.train
-    g_tx = optax.adam(t.g_lr, b1=t.adam_b1, b2=t.adam_b2)
-    d_tx = optax.adam(t.d_lr, b1=t.adam_b1, b2=t.adam_b2)
-    return g_tx, d_tx
+    # optax.flatten turns the ~50 per-tensor Adam fusions into ONE fused
+    # vector op (identical elementwise math; see TrainConfig.flatten_optimizer).
+    # Under tensor parallelism the moments must shard like their params
+    # (parallel/gspmd.py rank-based rule), which a concatenated vector cannot,
+    # so TP meshes keep the per-tensor layout.
+    flat = t.flatten_optimizer and cfg.mesh.model <= 1
+
+    def tx(lr: float) -> optax.GradientTransformation:
+        inner = optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2)
+        return optax.flatten(inner) if flat else inner
+
+    return tx(t.g_lr), tx(t.d_lr)
 
 
 def init_state(cfg: Config, rng: jax.Array) -> TrainState:

@@ -146,12 +146,22 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
             return loss, (real_acc, fake_acc)
 
-        # --- D update(s). The generator rollout for D's side is
-        # stop-gradiented; with disc_steps > 1, D takes multiple Adam steps
+        # --- ONE generator rollout per step. D's fake batch and G's update
+        # use the same params and the same sampling key, so the forward is
+        # computed once via jax.vjp; D sees it stop-gradiented, G's grads
+        # chain the loss-head cotangent back through the saved residuals.
+        # (Previously `predict` appeared twice in the trace — for D and again
+        # inside G's value_and_grad — relying on XLA CSE to dedupe; vjp makes
+        # the single forward structural and keeps the analytic-FLOPs roofline
+        # numerator honest.)
+        rng, gkey = jax.random.split(rng)
+        preds, g_vjp = jax.vjp(lambda p: predict(p, gkey), state.g_params)
+        flat_preds = _fold_time(preds)
+
+        # --- D update(s). With disc_steps > 1, D takes multiple Adam steps
         # against the same fake batch (static unroll — reference alternates
         # 1:1, SURVEY.md §4.1).
-        rng, gkey = jax.random.split(rng)
-        fake_for_d = lax.stop_gradient(_fold_time(predict(state.g_params, gkey)))
+        fake_for_d = lax.stop_gradient(flat_preds)
         d_params, d_opt = state.d_params, state.d_opt
         d_loss = jnp.zeros((), jnp.float32)
         real_acc = fake_acc = jnp.zeros((), jnp.float32)
@@ -166,20 +176,21 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             )
 
         # --- G update against the freshly-updated D (sequential semantics).
-        def g_loss_fn(g_params):
-            preds = predict(g_params, gkey)  # same sampling path as D saw
+        # Loss head differentiated w.r.t. the rollout's OUTPUT, then chained
+        # through the saved-forward vjp — same math as value_and_grad over
+        # predict∘head, minus the second rollout forward.
+        def g_head(preds_flat):
             fake_logits = d_apply(
-                d_params, _fold_time(preds), cond_frames, flat_actions, flat_states
+                d_params, preds_flat, cond_frames, flat_actions, flat_states
             )
             adv = L.generator_adv_loss(fake_logits)
-            recon = L.reconstruction_loss(
-                _fold_time(preds), real_next, t.recon_type
-            )
+            recon = L.reconstruction_loss(preds_flat, real_next, t.recon_type)
             return adv + t.recon_weight * recon, (adv, recon)
 
-        (g_loss, (g_adv, g_recon)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        (g_loss, (g_adv, g_recon)), d_preds = jax.value_and_grad(
+            g_head, has_aux=True
+        )(flat_preds)
+        (g_grads,) = g_vjp(d_preds.reshape(preds.shape))
         g_grads = _pmean(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = jax.tree_util.tree_map(

@@ -26,8 +26,11 @@ BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "32"))
 # Kernel backend: "xla" or "pallas" (fused Pallas conv/norm kernels).
 BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 # Train steps scanned per device dispatch (amortizes per-call runtime
-# overhead; semantics identical to sequential steps).
-BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "16"))
+# overhead; semantics identical to sequential steps). k=64 measures AT the
+# xprof device-time floor (~2.83 ms/step) on the tunneled v5e — the ~6-7 ms
+# per-dispatch overhead is fully amortized (r2 sweep: k=16 3.17 ms,
+# k=32 2.99 ms, k=64 2.85 ms/step).
+BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "64"))
 
 
 def main() -> int:
@@ -113,9 +116,30 @@ def run_presets() -> int:
     from action_conditioned_gans_tpu.bench import run_bench
     from action_conditioned_gans_tpu.config import PRESETS, get_preset
 
+    # Single-chip batch overrides for presets whose batch_size is a POD-global
+    # batch: config5 (v5e-16, 2/chip) needs ~18 GB at batch 32 on one chip
+    # (XLA OOM: D's folded 2·B·T transition batch at 256² keeps four
+    # ~3.75 GB conv temps live). batch 8/chip is the largest single-chip fit;
+    # the multi-chip sharding of the full batch is validated by
+    # __graft_entry__.dryrun_multichip.
+    single_chip_batch = {"config5": 8}
     results = {}
     for name in PRESETS:
         cfg = get_preset(name)
+        n_dev = 1
+        try:
+            import jax
+
+            n_dev = jax.device_count()
+        except Exception:
+            pass
+        note = None
+        if n_dev == 1 and name in single_chip_batch:
+            b = single_chip_batch[name]
+            note = f"batch {b}/chip (preset batch {cfg.train.batch_size} is pod-global)"
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, batch_size=b)
+            )
         steps = 12 if cfg.train.rollout_length > 1 or cfg.model.image_size > 64 else 24
         try:
             stats = run_bench(cfg, steps=steps)
@@ -125,6 +149,8 @@ def run_presets() -> int:
         results[name] = {
             k: (round(v, 4) if isinstance(v, float) else v) for k, v in stats.items()
         }
+        if note:
+            results[name]["batch_note"] = note
         print(f"[bench] {name}: {results[name].get('frames_per_sec_per_chip')} f/s/chip")
     with open(os.path.join(REPO, "BENCH_PRESETS.json"), "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)

@@ -181,3 +181,128 @@ def test_disc_steps_k():
     state = init_state(cfg, jax.random.PRNGKey(0))
     state, metrics = jit_train_step(cfg)(state, make_batch(cfg), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+@pytest.mark.parametrize("ss", [False, True])
+def test_single_forward_vjp_matches_two_forward_reference(ss):
+    """The fused step computes ONE generator rollout (jax.vjp) and chains the
+    loss-head cotangent through it. Pin that against the straightforward
+    two-forward formulation (predict for D, predict again inside G's
+    value_and_grad) — the math must be identical for both teacher-forced and
+    scheduled-sampling rollouts."""
+    from jax import lax
+
+    from action_conditioned_gans_tpu.models import Discriminator, Generator
+    from action_conditioned_gans_tpu.train import losses as L
+    from action_conditioned_gans_tpu.train.rollout import (
+        rollout_generator,
+        rollout_teacher_forced,
+    )
+    from action_conditioned_gans_tpu.train.state import TrainState, make_optimizers
+
+    cfg = tiny_config(
+        rollout_length=3,
+        scheduled_sampling=ss,
+        ss_start_prob=0.5 if ss else 0.0,
+        ss_end_prob=0.5 if ss else 1.0,
+    )
+    m, t = cfg.model, cfg.train
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(7)
+
+    # jit_train_step donates its state argument — run it on a copy so the
+    # manual reference below can still read the original buffers.
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    got, _ = jit_train_step(cfg)(state_copy, batch, rng)
+
+    # --- Reference: same semantics, generator rollout computed twice.
+    gen, disc = Generator(m), Discriminator(m)
+    g_tx, d_tx = make_optimizers(cfg)
+    frames, actions = batch["frames"], batch["actions"]
+    horizon = actions.shape[1]
+
+    def fold(x):
+        return x.reshape((-1,) + x.shape[2:])
+
+    def g_apply(p, fr, ac, st):
+        return gen.apply({"params": p}, fr, ac, st)
+
+    def d_apply(p, nxt, fr, ac):
+        return disc.apply({"params": p}, nxt, fr, ac, None)
+
+    r = jax.random.fold_in(rng, state.step)
+    ss_prob = scheduled_sampling_prob(state.step, t)
+    r, gkey = jax.random.split(r)
+
+    def predict(g_params):
+        if not t.scheduled_sampling:
+            return rollout_teacher_forced(
+                g_apply, g_params, frames, actions, None,
+                time_chunk=t.rollout_time_chunk, remat=t.remat_rollout,
+            )
+        return rollout_generator(
+            g_apply, g_params, frames, actions, None, gkey, ss_prob,
+            remat=t.remat_rollout,
+        )
+
+    cond = fold(frames[:, :horizon])
+    real_next = fold(frames[:, 1:])
+    flat_act = fold(actions)
+    fake_for_d = lax.stop_gradient(fold(predict(state.g_params)))
+
+    def d_loss_fn(d_params):
+        both = jnp.concatenate([real_next, fake_for_d], axis=0)
+        two = lambda x: jnp.concatenate([x, x], axis=0)
+        logits = d_apply(d_params, both, two(cond), two(flat_act))
+        rl, fl = jnp.split(logits, 2, axis=0)
+        return L.discriminator_loss(rl, fl)
+
+    d_grads = jax.grad(d_loss_fn)(state.d_params)
+    d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    d_params = jax.tree_util.tree_map(
+        lambda p, u: p + u.astype(p.dtype), state.d_params, d_updates
+    )
+
+    def g_loss_fn(g_params):
+        preds = fold(predict(g_params))
+        adv = L.generator_adv_loss(d_apply(d_params, preds, cond, flat_act))
+        return adv + t.recon_weight * L.reconstruction_loss(
+            preds, real_next, t.recon_type
+        )
+
+    g_grads = jax.grad(g_loss_fn)(state.g_params)
+    g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    g_params = jax.tree_util.tree_map(
+        lambda p, u: p + u.astype(p.dtype), state.g_params, g_updates
+    )
+    want = TrainState(step=state.step + 1, g_params=g_params, d_params=d_params,
+                      g_opt=g_opt, d_opt=d_opt)
+
+    for name, a, b in zip(
+        ("g", "d"),
+        (got.g_params, got.d_params),
+        (want.g_params, want.d_params),
+    ):
+        for ga, gb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(ga), np.asarray(gb), atol=5e-6, rtol=1e-4,
+                err_msg=f"{name} params diverged from two-forward reference",
+            )
+
+
+def test_flatten_optimizer_updates_identical():
+    """optax.flatten (one fused Adam over the concatenated parameter vector)
+    is elementwise-identical to the per-tensor layout — same params after a
+    step (up to one-ULP compilation differences in the fused rsqrt)."""
+    cfg_flat = tiny_config(flatten_optimizer=True)
+    cfg_tree = tiny_config(flatten_optimizer=False)
+    batch = make_batch(cfg_flat)
+    rng = jax.random.PRNGKey(1)
+    a, _ = jit_train_step(cfg_flat)(init_state(cfg_flat, jax.random.PRNGKey(0)), batch, rng)
+    b, _ = jit_train_step(cfg_tree)(init_state(cfg_tree, jax.random.PRNGKey(0)), batch, rng)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves((a.g_params, a.d_params)),
+        jax.tree_util.tree_leaves((b.g_params, b.d_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-9, rtol=1e-6)
