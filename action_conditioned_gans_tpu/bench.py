@@ -13,7 +13,9 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.data import make_dataset
@@ -65,6 +67,135 @@ def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def _round_trip_s() -> float:
+    """Measured cost of one empty dispatch→device_get barrier (fixed ~26 ms
+    on the axon tunnel; see BASELINE.md methodology v2)."""
+    _noop = jax.jit(lambda s: s + 1.0)
+    _zero = jax.device_put(np.float32(0.0), jax.devices()[0])
+    float(jax.device_get(_noop(_zero)))  # compile
+    return min(_timed(lambda: float(jax.device_get(_noop(_zero)))) for _ in range(5))
+
+
+def run_infer_bench(
+    cfg: Config,
+    batch: Optional[int] = None,
+    rollout: Optional[int] = None,
+    k: int = 32,
+    windows: int = 3,
+    calls_per_window: int = 8,
+) -> Dict[str, float]:
+    """Serving-path throughput: the jitted generator ONLY (the reference's
+    ``sess.run(G, feed_dict=...)`` deployment story, SURVEY.md §4.2 /
+    ``infer.Predictor``), no discriminator, no optimizer.
+
+    Measures two shapes:
+      * ``infer_fps`` — single-step next-frame prediction, ``k`` applications
+        scanned inside one jit over a PRE-GENERATED input bank (per the
+        platform microbench rule: a rotating bank, not an in-scan
+        perturbation, which CSE can hoist through the network);
+      * ``rollout_fps`` — autoregressive T-step rollout (Predictor.rollout
+        semantics: each step consumes the previous prediction).
+    True-barrier timing with the empty-round-trip constant subtracted.
+    """
+    from action_conditioned_gans_tpu.models import Generator
+
+    m = cfg.model
+    b = batch or cfg.train.batch_size
+    t = rollout or max(cfg.train.rollout_length, 1)
+    gen = Generator(m)
+    key = jax.random.PRNGKey(0)
+    kf, ka, ks, kp = jax.random.split(key, 4)
+    frame0 = jnp.tanh(jax.random.normal(kf, (b, m.image_size, m.image_size, m.image_channels), jnp.float32))
+    action0 = jax.random.normal(ka, (b, m.action_dim), jnp.float32)
+    state0 = (
+        jax.random.normal(ks, (b, m.state_dim), jnp.float32) if m.state_dim else None
+    )
+    params = gen.init(kp, frame0, action0, state0)["params"]
+
+    # Input banks: k distinct frames/actions so no two scan iterations share
+    # a subcomputation.
+    frames = jnp.tanh(
+        jax.random.normal(kf, (k, b, m.image_size, m.image_size, m.image_channels), jnp.float32)
+    )
+    actions = jax.random.normal(ka, (k, b, m.action_dim), jnp.float32)
+    states = (
+        jax.random.normal(ks, (k, b, m.state_dim), jnp.float32) if m.state_dim else None
+    )
+    roll_actions = jax.random.normal(ka, (b, t, m.action_dim), jnp.float32)
+    roll_states = (
+        jax.random.normal(ks, (b, t, m.state_dim), jnp.float32) if m.state_dim else None
+    )
+
+    @jax.jit
+    def single_step_bank(params, frames, actions, states):
+        def body(acc, xs):
+            if states is None:
+                f, a = xs
+                s = None
+            else:
+                f, a, s = xs
+            y = gen.apply({"params": params}, f, a, s)
+            return acc + jnp.mean(y.astype(jnp.float32)), None
+
+        xs = (frames, actions) if states is None else (frames, actions, states)
+        acc, _ = lax.scan(body, jnp.zeros((), jnp.float32), xs)
+        return acc
+
+    @jax.jit
+    def rollout_fn(params, frame0, actions, states):
+        actions_tm = jnp.moveaxis(actions, 0, 1)
+        states_tm = jnp.moveaxis(states, 0, 1) if states is not None else None
+
+        def step(prev, xs):
+            if states_tm is None:
+                (a,) = xs
+                s = None
+            else:
+                a, s = xs
+            pred = gen.apply({"params": params}, prev, a, s)
+            return pred.astype(prev.dtype), jnp.mean(pred.astype(jnp.float32))
+
+        xs = (actions_tm,) if states_tm is None else (actions_tm, states_tm)
+        _, outs = lax.scan(step, frame0, xs)
+        return jnp.sum(outs)
+
+    out: Dict[str, float] = {
+        "config": cfg.name,
+        "image_size": m.image_size,
+        "batch_size": b,
+        "rollout_length": t,
+        "device": jax.devices()[0].device_kind,
+    }
+    rt = None
+
+    def timeit(fn, *args) -> float:
+        nonlocal rt
+        float(jax.device_get(fn(*args)))  # compile + warm
+        if rt is None:
+            rt = _round_trip_s()
+
+        def window() -> float:
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(calls_per_window):
+                r = fn(*args)
+            float(jax.device_get(r))
+            el = time.perf_counter() - t0
+            return max(el - rt, el * 0.5) / calls_per_window
+
+        window()  # extra warm window
+        return float(np.percentile([window() for _ in range(windows)], 50))
+
+    per_call = timeit(single_step_bank, params, frames, actions, states)
+    out["infer_step_latency_ms"] = per_call / k * 1e3
+    out["infer_fps_per_chip"] = b * k / per_call
+    per_roll = timeit(rollout_fn, params, frame0, roll_actions, roll_states)
+    out["rollout_latency_ms"] = per_roll * 1e3
+    out["rollout_fps_per_chip"] = b * t / per_roll
+    out["barrier_round_trip_ms"] = (rt or 0.0) * 1e3
+    return out
 
 
 def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]:
@@ -131,12 +262,7 @@ def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]
     cached = [dataset.batch_at(warmup + i) for i in range(k)]
     jax.block_until_ready(cached)
 
-    _noop = jax.jit(lambda s: s + 1.0)
-    _zero = jax.device_put(np.float32(0.0), jax.devices()[0])
-    float(jax.device_get(_noop(_zero)))  # compile
-    rt = min(
-        _timed(lambda: float(jax.device_get(_noop(_zero)))) for _ in range(5)
-    )
+    rt = _round_trip_s()
 
     def window(n_calls: int) -> float:
         """Per-STEP latency over a window of n_calls dispatches."""

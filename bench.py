@@ -158,5 +158,46 @@ def run_presets() -> int:
     return 0
 
 
+def run_infer() -> int:
+    """Serving-path (generator-only) throughput -> BENCH_INFER.json: the
+    reference's deployment story is sess.run(G) on a restored checkpoint
+    (SURVEY.md §4.2); this measures the rebuild's jitted equivalent
+    (infer.Predictor) — single-step prediction over an input bank and the
+    autoregressive rollout — at two representative geometries."""
+    import dataclasses
+
+    from action_conditioned_gans_tpu.bench import run_infer_bench
+    from action_conditioned_gans_tpu.config import get_preset
+
+    results = {}
+    # 64px single-step serving at the headline batch; 64px T=10 rollouts at
+    # config2 geometry; 256px T=30 rollouts at config5 single-chip batch.
+    for name, kw in (
+        ("config1", dict(batch=BENCH_BATCH)),
+        ("config2", dict()),
+        ("config5", dict(batch=8, k=4)),
+    ):
+        try:
+            stats = run_infer_bench(get_preset(name), **kw)
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            continue
+        results[name] = {
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in stats.items()
+        }
+        print(
+            f"[infer] {name}: {results[name].get('infer_fps_per_chip')} f/s single-step, "
+            f"{results[name].get('rollout_fps_per_chip')} f/s rollout"
+        )
+    with open(os.path.join(REPO, "BENCH_INFER.json"), "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps({"infer_recorded": list(results)}))
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(run_presets() if "--presets" in sys.argv else main())
+    if "--presets" in sys.argv:
+        sys.exit(run_presets())
+    if "--infer" in sys.argv:
+        sys.exit(run_infer())
+    sys.exit(main())

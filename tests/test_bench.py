@@ -98,3 +98,27 @@ def test_analytic_flops_dot_general():
     b = jnp.zeros((64, 16))
     got = analytic_matmul_flops(jnp.matmul, a, b)
     assert got == 2 * 32 * 64 * 16
+
+
+def test_run_infer_bench_smoke():
+    """Serving bench runs on the CPU mesh at tiny geometry and reports
+    positive throughputs for both the single-step bank and the rollout."""
+    import dataclasses
+
+    from action_conditioned_gans_tpu.bench import run_infer_bench
+    from action_conditioned_gans_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    cfg = Config(
+        name="tiny",
+        model=ModelConfig(
+            image_size=16, g_levels=2, g_base_channels=8, d_levels=2,
+            d_base_channels=8, group_norm_groups=4, compute_dtype="float32",
+            state_dim=3,
+        ),
+        data=DataConfig(seq_len=3),
+        train=TrainConfig(batch_size=2, rollout_length=2),
+    )
+    out = run_infer_bench(cfg, k=3, windows=1, calls_per_window=2)
+    assert out["infer_fps_per_chip"] > 0
+    assert out["rollout_fps_per_chip"] > 0
+    assert out["batch_size"] == 2 and out["rollout_length"] == 2
