@@ -194,6 +194,16 @@ class TrainConfig:
     # scans over chunks of that many timesteps, each folded to (B*chunk);
     # 0 folds all of T at once. Ignored when scheduled sampling is on.
     rollout_time_chunk: int = 0
+    # Discriminator microbatching: > 0 scans the D loss/grad (and G's loss
+    # head) over chunks of that many folded (B*T) transitions with gradient
+    # accumulation — exact per-sample-mean math (means of equal chunk means;
+    # pinned by test), but D's peak activation memory drops to chunk/(B*T)
+    # of the full folded batch. Unblocks single-chip 256^2 runs at the
+    # config5 pod-global batch (the batch-32 XLA OOM is four ~3.75 GB conv
+    # temps on the folded 1920-transition D batch). 0 = off (one full-batch
+    # D forward; the default and the fastest when memory allows). Rounded
+    # down to the largest divisor of B*T.
+    disc_microbatch: int = 0
     # Train steps executed per device dispatch (lax.scan over the fused
     # step). Semantics are identical to k sequential steps; amortizes
     # per-dispatch runtime overhead (measured 2.9x throughput at k=4 on the

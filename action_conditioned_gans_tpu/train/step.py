@@ -125,26 +125,73 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         # statistics, changing GAN dynamics, so that mode keeps two applies.
         batch_d = m.norm != "batch"
 
-        def d_loss_fn(d_params, fake_next):
+        # Discriminator microbatching (t.disc_microbatch > 0): scan the D
+        # loss/grad over chunks of the folded (B*T) transition axis with
+        # gradient accumulation. All losses are per-sample means over
+        # equal-size chunks, so mean-of-chunk-means == full-batch mean and
+        # accumulated grads equal full-batch grads exactly (up to summation
+        # order — pinned by test). GroupNorm is per-sample, so chunking does
+        # not change any activation. This caps D's peak activation memory at
+        # chunk/(B*T) of the full batch: the single-chip 256^2 config5 OOM
+        # (four ~3.75 GB conv temps on the 2*B*T=1920 folded batch) is
+        # exactly this tensor (BASELINE.md config5 note).
+        n_flat = real_next.shape[0]
+        mb = t.disc_microbatch if 0 < t.disc_microbatch < n_flat else 0
+        while mb and n_flat % mb:  # largest divisor <= requested size
+            mb -= 1
+        nc = (n_flat // mb) if mb else 1
+
+        def _chunked(x):
+            """(N, ...) -> (nc, N/nc, ...) for scanning; None passes through."""
+            return None if x is None else x.reshape((nc, -1) + x.shape[1:])
+
+        def d_loss_on(d_params, fake_next, real, cond, act, st):
             if batch_d:
-                both = jnp.concatenate([real_next, fake_next], axis=0)
+                both = jnp.concatenate([real, fake_next], axis=0)
                 two = lambda x: (
                     jnp.concatenate([x, x], axis=0) if x is not None else None
                 )
-                logits = d_apply(
-                    d_params, both, two(cond_frames), two(flat_actions), two(flat_states)
-                )
+                logits = d_apply(d_params, both, two(cond), two(act), two(st))
                 real_logits, fake_logits = jnp.split(logits, 2, axis=0)
             else:
-                real_logits = d_apply(
-                    d_params, real_next, cond_frames, flat_actions, flat_states
-                )
-                fake_logits = d_apply(
-                    d_params, fake_next, cond_frames, flat_actions, flat_states
-                )
+                real_logits = d_apply(d_params, real, cond, act, st)
+                fake_logits = d_apply(d_params, fake_next, cond, act, st)
             loss = L.discriminator_loss(real_logits, fake_logits)
             real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
             return loss, (real_acc, fake_acc)
+
+        def d_value_and_grad(d_params, fake_next):
+            """((loss, (real_acc, fake_acc)), grads), full batch or chunked."""
+            if nc == 1:
+                return jax.value_and_grad(d_loss_on, has_aux=True)(
+                    d_params, fake_next, real_next, cond_frames, flat_actions, flat_states
+                )
+            xs = [
+                _chunked(a)
+                for a in (fake_next, real_next, cond_frames, flat_actions, flat_states)
+                if a is not None
+            ]
+            has_act = flat_actions is not None
+            has_st = flat_states is not None
+
+            def body(carry, chunk):
+                it = iter(chunk)
+                fk, rl, cd = next(it), next(it), next(it)
+                ac = next(it) if has_act else None
+                st = next(it) if has_st else None
+                (l, (ra, fa)), g = jax.value_and_grad(d_loss_on, has_aux=True)(
+                    d_params, fk, rl, cd, ac, st
+                )
+                cl, cra, cfa, cg = carry
+                cg = jax.tree_util.tree_map(lambda a, b: a + b / nc, cg, g)
+                return (cl + l / nc, cra + ra / nc, cfa + fa / nc, cg), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, d_params)
+            zero = jnp.zeros((), jnp.float32)
+            (loss, ra, fa, grads), _ = lax.scan(
+                body, (zero, zero, zero, zero_g), tuple(xs)
+            )
+            return (loss, (ra, fa)), grads
 
         # --- ONE generator rollout per step. D's fake batch and G's update
         # use the same params and the same sampling key, so the forward is
@@ -166,9 +213,9 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         d_loss = jnp.zeros((), jnp.float32)
         real_acc = fake_acc = jnp.zeros((), jnp.float32)
         for _ in range(max(t.disc_steps, 1)):
-            (d_loss, (real_acc, fake_acc)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True
-            )(d_params, fake_for_d)
+            (d_loss, (real_acc, fake_acc)), d_grads = d_value_and_grad(
+                d_params, fake_for_d
+            )
             d_grads = _pmean(d_grads)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
             d_params = jax.tree_util.tree_map(
@@ -178,18 +225,45 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         # --- G update against the freshly-updated D (sequential semantics).
         # Loss head differentiated w.r.t. the rollout's OUTPUT, then chained
         # through the saved-forward vjp — same math as value_and_grad over
-        # predict∘head, minus the second rollout forward.
-        def g_head(preds_flat):
-            fake_logits = d_apply(
-                d_params, preds_flat, cond_frames, flat_actions, flat_states
-            )
+        # predict∘head, minus the second rollout forward. Chunked over the
+        # same microbatch axis as D when disc_microbatch is set (the head's
+        # losses are per-sample means, so per-chunk cotangents scaled by
+        # 1/nc stack into the exact full-batch cotangent).
+        def g_head_on(preds_c, real_c, cond_c, act_c, st_c):
+            fake_logits = d_apply(d_params, preds_c, cond_c, act_c, st_c)
             adv = L.generator_adv_loss(fake_logits)
-            recon = L.reconstruction_loss(preds_flat, real_next, t.recon_type)
+            recon = L.reconstruction_loss(preds_c, real_c, t.recon_type)
             return adv + t.recon_weight * recon, (adv, recon)
 
-        (g_loss, (g_adv, g_recon)), d_preds = jax.value_and_grad(
-            g_head, has_aux=True
-        )(flat_preds)
+        if nc == 1:
+            (g_loss, (g_adv, g_recon)), d_preds = jax.value_and_grad(
+                g_head_on, has_aux=True
+            )(flat_preds, real_next, cond_frames, flat_actions, flat_states)
+        else:
+            has_act = flat_actions is not None
+            has_st = flat_states is not None
+            xs = tuple(
+                _chunked(a)
+                for a in (flat_preds, real_next, cond_frames, flat_actions, flat_states)
+                if a is not None
+            )
+
+            def g_body(carry, chunk):
+                it = iter(chunk)
+                pr, rl, cd = next(it), next(it), next(it)
+                ac = next(it) if has_act else None
+                st = next(it) if has_st else None
+                (l, (a, r)), dp = jax.value_and_grad(g_head_on, has_aux=True)(
+                    pr, rl, cd, ac, st
+                )
+                cl, ca, cr = carry
+                return (cl + l / nc, ca + a / nc, cr + r / nc), dp * (1.0 / nc)
+
+            zero = jnp.zeros((), jnp.float32)
+            (g_loss, g_adv, g_recon), dp_chunks = lax.scan(
+                g_body, (zero, zero, zero), xs
+            )
+            d_preds = dp_chunks.reshape(flat_preds.shape)
         (g_grads,) = g_vjp(d_preds.reshape(preds.shape))
         g_grads = _pmean(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)

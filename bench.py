@@ -116,13 +116,16 @@ def run_presets() -> int:
     from action_conditioned_gans_tpu.bench import run_bench
     from action_conditioned_gans_tpu.config import PRESETS, get_preset
 
-    # Single-chip batch overrides for presets whose batch_size is a POD-global
-    # batch: config5 (v5e-16, 2/chip) needs ~18 GB at batch 32 on one chip
-    # (XLA OOM: D's folded 2·B·T transition batch at 256² keeps four
-    # ~3.75 GB conv temps live). batch 8/chip is the largest single-chip fit;
-    # the multi-chip sharding of the full batch is validated by
-    # __graft_entry__.dryrun_multichip.
-    single_chip_batch = {"config5": 8}
+    # Single-chip train-config overrides for presets whose batch_size is a
+    # POD-global batch: config5 (v5e-16, 2/chip) at batch 32 on one chip is
+    # an XLA OOM without microbatching (D's folded 2·B·T transition batch at
+    # 256² keeps four ~3.75 GB conv temps live — 17.95G of 15.75G HBM).
+    # disc_microbatch=120 chunks D over the 960 folded transitions (exact
+    # math, tested) and the FULL pod-global batch fits AND outruns the old
+    # batch-8 fallback (998 vs 953 f/s/chip measured). steps_per_call=2
+    # halves the 256² program's compile time with <1% amortization loss at
+    # ~1 s/step. The pod itself needs no microbatch (2/chip).
+    single_chip_overrides = {"config5": {"disc_microbatch": 120, "steps_per_call": 2}}
     results = {}
     for name in PRESETS:
         cfg = get_preset(name)
@@ -134,12 +137,10 @@ def run_presets() -> int:
         except Exception:
             pass
         note = None
-        if n_dev == 1 and name in single_chip_batch:
-            b = single_chip_batch[name]
-            note = f"batch {b}/chip (preset batch {cfg.train.batch_size} is pod-global)"
-            cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(cfg.train, batch_size=b)
-            )
+        if n_dev == 1 and name in single_chip_overrides:
+            kw = single_chip_overrides[name]
+            note = f"single-chip overrides: {kw} (preset batch {cfg.train.batch_size} is pod-global)"
+            cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, **kw))
         steps = 12 if cfg.train.rollout_length > 1 or cfg.model.image_size > 64 else 24
         try:
             stats = run_bench(cfg, steps=steps)

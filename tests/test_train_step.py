@@ -306,3 +306,48 @@ def test_flatten_optimizer_updates_identical():
         jax.tree_util.tree_leaves((b.g_params, b.d_params)),
     ):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-9, rtol=1e-6)
+
+
+@pytest.mark.parametrize("state_dim", [0, 3])
+def test_disc_microbatch_equivalence(state_dim):
+    """disc_microbatch chunks the D loss/grad and G's loss head over the
+    folded transition axis with gradient accumulation — identical updates to
+    the full-batch path (per-sample-mean losses over equal chunks)."""
+    def cfg_with(mb):
+        c = tiny_config(rollout_length=4, batch_size=2, disc_microbatch=mb)
+        if state_dim:
+            c = dataclasses.replace(c, model=dataclasses.replace(c.model, state_dim=state_dim))
+        return c
+
+    batch = make_batch(cfg_with(0))
+    rng = jax.random.PRNGKey(3)
+    full, m_full = jit_train_step(cfg_with(0))(
+        init_state(cfg_with(0), jax.random.PRNGKey(0)), batch, rng
+    )
+    chunked, m_chunk = jit_train_step(cfg_with(2))(
+        init_state(cfg_with(2), jax.random.PRNGKey(0)), batch, rng
+    )
+    np.testing.assert_allclose(
+        float(m_full["d_loss"]), float(m_chunk["d_loss"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_full["g_loss"]), float(m_chunk["g_loss"]), rtol=1e-5, atol=1e-6
+    )
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves((full.g_params, full.d_params)),
+        jax.tree_util.tree_leaves((chunked.g_params, chunked.d_params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), atol=5e-6, rtol=1e-4,
+            err_msg="microbatched update diverged from full-batch update",
+        )
+
+
+def test_disc_microbatch_non_divisor_rounds_down():
+    """A chunk size that doesn't divide B*T rounds down to a divisor and
+    still trains (finite losses)."""
+    cfg = tiny_config(rollout_length=3, batch_size=2, disc_microbatch=4)  # N=6 -> mb 3
+    state, metrics = jit_train_step(cfg)(
+        init_state(cfg, jax.random.PRNGKey(0)), make_batch(cfg), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["d_loss"]))
