@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="sample/make-data output path")
     p.add_argument("--num-clips", type=int, default=8)
     p.add_argument(
+        "--ema",
+        action="store_true",
+        help="sample/eval with the EMA generator weights (needs a checkpoint "
+        "trained with train.ema_decay > 0)",
+    )
+    p.add_argument(
         "--set",
         dest="overrides",
         action="append",
@@ -131,6 +137,10 @@ def main(argv=None) -> int:
             print(f"[acgan] loaded checkpoint step {ckpt.latest_step()}")
         else:
             print("[acgan] WARNING: no checkpoint found; sampling from init")
+        if args.ema:
+            if state.g_ema is None:
+                p.error("--ema needs a checkpoint trained with train.ema_decay > 0")
+            state = state.replace(g_params=state.g_ema)
         if args.command == "sample":
             out = args.out or f"{cfg.workdir}/samples"
             metrics = sample(cfg, state, out, num_clips=args.num_clips)

@@ -194,6 +194,12 @@ class TrainConfig:
     # scans over chunks of that many timesteps, each folded to (B*chunk);
     # 0 folds all of T at once. Ignored when scheduled sampling is on.
     rollout_time_chunk: int = 0
+    # Exponential moving average of the GENERATOR weights, updated after
+    # every G step: ema = decay*ema + (1-decay)*params. 0 disables (the
+    # reference has no EMA; this is a standard GAN-evaluation improvement —
+    # sample/eval with --ema, infer with Predictor(use_ema=True)). Typical
+    # value 0.999. Adds a g_ema tree to TrainState/checkpoints when on.
+    ema_decay: float = 0.0
     # Discriminator microbatching: > 0 scans the D loss/grad (and G's loss
     # head) over chunks of that many folded (B*T) transitions with gradient
     # accumulation — exact per-sample-mean math (means of equal chunk means;

@@ -64,9 +64,18 @@ class Predictor:
     # -- constructors ---------------------------------------------------------
     @classmethod
     def from_checkpoint(
-        cls, cfg: Config, workdir: Optional[str] = None, step: Optional[int] = None
+        cls,
+        cfg: Config,
+        workdir: Optional[str] = None,
+        step: Optional[int] = None,
+        use_ema: bool = False,
     ) -> "Predictor":
-        """Restore generator params from the latest (or given) checkpoint."""
+        """Restore generator params from the latest (or given) checkpoint.
+
+        ``use_ema=True`` serves the exponential-moving-average weights
+        (requires the checkpoint to have been trained with
+        ``train.ema_decay > 0``).
+        """
         from action_conditioned_gans_tpu.train.state import init_state
 
         workdir = workdir or cfg.workdir
@@ -74,6 +83,13 @@ class Predictor:
         mgr = CheckpointManager(f"{workdir}/checkpoints")
         state = mgr.restore(template, step=step)
         mgr.close()
+        if use_ema:
+            if state.g_ema is None:
+                raise ValueError(
+                    "use_ema=True but the checkpoint has no EMA weights "
+                    "(train with train.ema_decay > 0)"
+                )
+            return cls(cfg, state.g_ema)
         return cls(cfg, state.g_params)
 
     # -- API ------------------------------------------------------------------

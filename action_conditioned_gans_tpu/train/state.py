@@ -26,6 +26,9 @@ class TrainState:
     d_params: Any
     g_opt: Any
     d_opt: Any
+    # EMA of g_params (cfg.train.ema_decay > 0), else None (absent from the
+    # pytree, so checkpoints/shardings are unchanged when EMA is off).
+    g_ema: Any = None
 
 
 def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
@@ -61,6 +64,11 @@ def init_state(cfg: Config, rng: jax.Array) -> TrainState:
         d_params=d_params,
         g_opt=g_tx.init(g_params),
         d_opt=d_tx.init(d_params),
+        g_ema=(
+            jax.tree_util.tree_map(jnp.copy, g_params)
+            if cfg.train.ema_decay > 0
+            else None
+        ),
     )
 
 

@@ -271,12 +271,22 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             lambda p, u: p + u.astype(p.dtype), state.g_params, g_updates
         )
 
+        if t.ema_decay > 0:
+            d_ema = jnp.asarray(t.ema_decay, jnp.float32)
+            g_ema = jax.tree_util.tree_map(
+                lambda e, p: (e * d_ema + p.astype(jnp.float32) * (1 - d_ema)).astype(e.dtype),
+                state.g_ema,
+                g_params,
+            )
+        else:
+            g_ema = state.g_ema
         new_state = TrainState(
             step=state.step + 1,
             g_params=g_params,
             d_params=d_params,
             g_opt=g_opt,
             d_opt=d_opt,
+            g_ema=g_ema,
         )
         metrics = {
             "d_loss": _pmean(d_loss),

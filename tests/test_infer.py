@@ -63,3 +63,38 @@ def test_predictor_rollout_feeds_back(tmp_path):
     clip = np.asarray(p.rollout(frame, actions))
     # autoregression: consecutive predictions differ (model isn't identity)
     assert np.abs(clip[:, 1] - clip[:, 0]).max() > 0
+
+
+def test_predictor_use_ema(tmp_path):
+    """Predictor(use_ema=True) serves the EMA tree; raises cleanly when the
+    checkpoint has none."""
+    import dataclasses
+
+    import pytest
+
+    cfg = tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, ema_decay=0.5))
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    # Make EMA distinguishable from the raw params.
+    state = state.replace(
+        g_ema=jax.tree_util.tree_map(lambda x: x + 0.01, state.g_params)
+    )
+    mgr = CheckpointManager(f"{cfg.workdir}/checkpoints")
+    mgr.save(1, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    raw = Predictor.from_checkpoint(cfg)
+    ema = Predictor.from_checkpoint(cfg, use_ema=True)
+    frame = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    action = jnp.ones((2, 4), jnp.float32)
+    assert float(jnp.max(jnp.abs(raw.predict(frame, action) - ema.predict(frame, action)))) > 0
+
+    cfg_off = tiny_config(str(tmp_path / "off"))
+    s2 = init_state(cfg_off, jax.random.PRNGKey(0))
+    m2 = CheckpointManager(f"{cfg_off.workdir}/checkpoints")
+    m2.save(1, jax.device_get(s2), force=True)
+    m2.wait()
+    m2.close()
+    with pytest.raises(ValueError, match="no EMA"):
+        Predictor.from_checkpoint(cfg_off, use_ema=True)

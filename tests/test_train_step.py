@@ -351,3 +351,29 @@ def test_disc_microbatch_non_divisor_rounds_down():
         init_state(cfg, jax.random.PRNGKey(0)), make_batch(cfg), jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_ema_generator_weights():
+    """ema_decay > 0 maintains g_ema = decay*ema + (1-decay)*params after
+    every G update; off by default (g_ema absent from the state pytree)."""
+    assert init_state(tiny_config(), jax.random.PRNGKey(0)).g_ema is None
+
+    cfg = tiny_config(ema_decay=0.9)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    # At init the EMA equals the params.
+    for e, p in zip(
+        jax.tree_util.tree_leaves(state.g_ema),
+        jax.tree_util.tree_leaves(state.g_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    init_g = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state.g_params)
+    state, _ = jit_train_step(cfg)(state, make_batch(cfg), jax.random.PRNGKey(1))
+    expected = jax.tree_util.tree_map(
+        lambda e, p: 0.9 * e + 0.1 * np.asarray(p), init_g, state.g_params
+    )
+    for e, w in zip(
+        jax.tree_util.tree_leaves(state.g_ema),
+        jax.tree_util.tree_leaves(expected),
+    ):
+        np.testing.assert_allclose(np.asarray(e), w, atol=1e-6, rtol=1e-6)
