@@ -47,10 +47,18 @@ def build_step_and_state(cfg: Config, mesh=None):
     if jax.process_count() > 1:
         # Multi-controller: jit inputs must be GLOBAL arrays. init_state's
         # leaves are committed to this process's device 0; re-place them
-        # (identical on every process — same seed) replicated over the
-        # global mesh via host round-trip.
+        # (identical on every process — same seed) over the global mesh via
+        # host round-trip — with the GSPMD step's OWN state shardings when a
+        # TP axis exists: multi-controller jit refuses to reshard committed
+        # arrays, so a replicated placement would be rejected against the
+        # P('model') in_shardings (caught by the dp2xtp2 multihost test).
         state = jax.tree_util.tree_map(np.asarray, state)
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if mesh.shape[mesh.axis_names[1]] > 1:
+            from action_conditioned_gans_tpu.parallel.gspmd import state_shardings
+
+            state = jax.device_put(state, state_shardings(state, mesh))
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
     if mesh.shape[mesh.axis_names[1]] > 1:
         step_fn = make_gspmd_train_step(cfg, mesh, state)
     else:

@@ -141,7 +141,10 @@ def run_presets() -> int:
             kw = single_chip_overrides[name]
             note = f"single-chip overrides: {kw} (preset batch {cfg.train.batch_size} is pod-global)"
             cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, **kw))
-        steps = 12 if cfg.train.rollout_length > 1 or cfg.model.image_size > 64 else 24
+        # Sub-ms presets (config1's batch-8 step) need long windows: the
+        # ~27 ms barrier round trip is subtracted once per window, so short
+        # windows turn rt-estimate jitter into ±10-15% throughput noise.
+        steps = 12 if cfg.train.rollout_length > 1 or cfg.model.image_size > 64 else 72
         try:
             stats = run_bench(cfg, steps=steps)
         except Exception as e:  # record the failure, keep measuring the rest

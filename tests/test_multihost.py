@@ -55,10 +55,10 @@ cfg = Config(
     data=DataConfig(source="tfrecord_native", data_dir={data_dir!r},
                     seq_len=3, clip_len=4, raw_image_size=16),
     train=TrainConfig(batch_size=8, rollout_length=2, seed=0),
-    mesh=MeshConfig(data=-1, model=1),
+    mesh=MeshConfig(data=-1, model={model_axis}),
 )
 mesh, state, step_fn = build_step_and_state(cfg)
-assert dict(mesh.shape) == {{"data": 4, "model": 1}}, dict(mesh.shape)
+assert dict(mesh.shape) == {{"data": 4 // {model_axis}, "model": {model_axis}}}, dict(mesh.shape)
 ds = make_dataset(cfg, out_shardings=batch_shardings(cfg, mesh),
                   host_id=jax.process_index(), num_hosts=jax.process_count())
 batch = ds.batch_at(0)
@@ -80,7 +80,13 @@ def _free_port():
     return port
 
 
-def test_two_process_file_source_train_step(tmp_path):
+@pytest.mark.parametrize("model_axis", [1, 2], ids=["dp4", "dp2xtp2"])
+def test_two_process_file_source_train_step(tmp_path, model_axis):
+    """model_axis=1: explicit shard_map DP over 4 devices / 2 processes.
+    model_axis=2: GSPMD dp x tp under multi-controller — the TP axis pairs
+    each process's two local devices and DP crosses the process boundary
+    (the production pod layout: channel collectives on fast intra-host
+    links, only the gradient reduce across hosts)."""
     # Two files -> each process's shard is exactly one file.
     rng = np.random.RandomState(0)
     for i in range(2):
@@ -96,7 +102,8 @@ def test_two_process_file_source_train_step(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c",
-             _WORKER.format(repo=REPO, port=port, pid=pid, data_dir=str(tmp_path))],
+             _WORKER.format(repo=REPO, port=port, pid=pid, data_dir=str(tmp_path),
+                            model_axis=model_axis)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
