@@ -130,10 +130,31 @@ def main(argv=None) -> int:
         from action_conditioned_gans_tpu.train.state import init_state
         from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
 
+        if args.ema and cfg.train.ema_decay <= 0:
+            # The restore template must CONTAIN a g_ema subtree to receive
+            # the checkpoint's EMA weights — force it on so `--ema` works
+            # without re-passing the training-time ema_decay override.
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999)
+            )
         state = init_state(cfg, jax.random.PRNGKey(cfg.train.seed))
         ckpt = CheckpointManager(f"{cfg.workdir}/checkpoints")
         if ckpt.latest_step() is not None:
-            state = ckpt.restore(state)
+            if args.ema:
+                # Strict: the checkpoint must actually carry EMA weights.
+                try:
+                    state = ckpt.restore(state)
+                except Exception as e:
+                    p.error(
+                        "--ema needs a checkpoint trained with "
+                        f"train.ema_decay > 0 (restore failed: {e})"
+                    )
+            else:
+                # Lenient: an EMA-carrying checkpoint still raw-samples
+                # under a plain preset (structure reconciled to the config).
+                from action_conditioned_gans_tpu.train.state import restore_state
+
+                state = restore_state(cfg, ckpt, template=state)
             print(f"[acgan] loaded checkpoint step {ckpt.latest_step()}")
         else:
             print("[acgan] WARNING: no checkpoint found; sampling from init")

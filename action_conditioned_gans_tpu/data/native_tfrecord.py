@@ -20,6 +20,7 @@ import ctypes
 import os
 import struct
 import subprocess
+import warnings
 from typing import Dict, Optional
 
 import numpy as np
@@ -34,16 +35,32 @@ def load_library() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "tfrecord_io.cc"))
+    missing = not os.path.exists(_LIB_PATH)
     stale = (
-        not os.path.exists(_LIB_PATH)
-        or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        not missing
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
     )
-    if stale:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-            check=True,
-            capture_output=True,
-        )
+    if missing or stale:
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        except (subprocess.CalledProcessError, OSError) as e:
+            # The repo ships a prebuilt .so, and git checkout order can make
+            # it LOOK older than its own source (mtime skew on fresh
+            # clones). If a usable library exists, a failed/unavailable
+            # toolchain must not take the data pipeline down — load what we
+            # have; only a truly missing library is fatal.
+            if missing:
+                raise
+            warnings.warn(
+                f"native/tfrecord_io.cc appears newer than the prebuilt "
+                f"library but rebuilding failed ({e}); loading the existing "
+                f"{os.path.basename(_LIB_PATH)}"
+            )
     lib = ctypes.CDLL(_LIB_PATH)
     lib.acgan_reader_open.restype = ctypes.c_void_p
     lib.acgan_reader_open.argtypes = [ctypes.c_char_p]

@@ -74,16 +74,32 @@ class Prefetcher:
                         continue
         except Exception as e:  # surfaced on the consumer side
             self._err = e
-            try:
-                self._q.put(None, timeout=1.0)
-            except queue.Full:
-                pass
+            # Deliver the None error sentinel with the same stop-aware
+            # bounded-put loop as data items: a single timed put could hit a
+            # full queue (consumer inside a long dispatch/compile) and drop
+            # the sentinel, leaving the consumer blocked forever while the
+            # real exception sat unread in self._err.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def batch_at(self, index):
         del index  # stream-ordered, like the underlying file reader
         if self._stop.is_set():
             raise RuntimeError("Prefetcher is closed")
-        item = self._q.get()
+        # Timed get so a fill-thread death between sentinel attempts (or any
+        # missed wakeup) surfaces self._err instead of hanging.
+        while True:
+            try:
+                item = self._q.get(timeout=1.0)
+                break
+            except queue.Empty:
+                if self._err is not None and not self._thread.is_alive():
+                    raise self._err
+                continue
         if item is None:
             raise self._err  # type: ignore[misc]
         return item

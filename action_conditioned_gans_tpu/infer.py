@@ -76,21 +76,39 @@ class Predictor:
         (requires the checkpoint to have been trained with
         ``train.ema_decay > 0``).
         """
+        import dataclasses
+
         from action_conditioned_gans_tpu.train.state import init_state
 
         workdir = workdir or cfg.workdir
-        template = init_state(cfg, jax.random.PRNGKey(0))
         mgr = CheckpointManager(f"{workdir}/checkpoints")
-        state = mgr.restore(template, step=step)
-        mgr.close()
-        if use_ema:
-            if state.g_ema is None:
-                raise ValueError(
-                    "use_ema=True but the checkpoint has no EMA weights "
-                    "(train with train.ema_decay > 0)"
-                )
-            return cls(cfg, state.g_ema)
-        return cls(cfg, state.g_params)
+
+        def tmpl(decay: float):
+            # Orbax matches the template's tree structure strictly, so the
+            # template's EMA presence must match the CHECKPOINT's — not the
+            # caller's config.
+            c = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, ema_decay=decay)
+            )
+            return init_state(c, jax.random.PRNGKey(0))
+
+        want_ema_tree = use_ema or cfg.train.ema_decay > 0
+        try:
+            try:
+                state = mgr.restore(tmpl(0.999 if want_ema_tree else 0.0), step=step)
+            except Exception as e:
+                if use_ema:
+                    # The checkpoint has no g_ema subtree.
+                    raise ValueError(
+                        "use_ema=True but the checkpoint has no EMA weights "
+                        f"(train with train.ema_decay > 0); restore failed: {e}"
+                    ) from e
+                # Raw load of an EMA-carrying checkpoint under a plain
+                # config: retry with the widened template.
+                state = mgr.restore(tmpl(0.999), step=step)
+        finally:
+            mgr.close()
+        return cls(cfg, state.g_ema if use_ema else state.g_params)
 
     # -- API ------------------------------------------------------------------
     def predict(self, frame, action, state=None):

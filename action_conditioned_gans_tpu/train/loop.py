@@ -20,9 +20,30 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.data import make_dataset
 from action_conditioned_gans_tpu.parallel import make_dp_train_step, make_gspmd_train_step, make_mesh
-from action_conditioned_gans_tpu.train.state import TrainState, init_state, param_count
+from action_conditioned_gans_tpu.train.state import (
+    TrainState,
+    init_state,
+    param_count,
+    restore_state,
+)
 from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
 from action_conditioned_gans_tpu.utils.metrics import MetricWriter
+
+
+def place_state_global(state, mesh):
+    """Place a host-resident or committed TrainState over the global mesh
+    with the shardings the compiled step expects: the GSPMD state shardings
+    when a TP (model) axis exists — multi-controller jit refuses to reshard
+    committed arrays, so a replicated placement would be rejected against
+    the P('model') in_shardings (caught by the dp2xtp2 multihost test) —
+    replicated otherwise. Goes through a host round-trip so it is valid on
+    every controller of a multi-process run."""
+    state = jax.tree_util.tree_map(np.asarray, state)
+    if mesh.shape[mesh.axis_names[1]] > 1:
+        from action_conditioned_gans_tpu.parallel.gspmd import state_shardings
+
+        return jax.device_put(state, state_shardings(state, mesh))
+    return jax.device_put(state, NamedSharding(mesh, P()))
 
 
 def build_step_and_state(cfg: Config, mesh=None):
@@ -47,18 +68,8 @@ def build_step_and_state(cfg: Config, mesh=None):
     if jax.process_count() > 1:
         # Multi-controller: jit inputs must be GLOBAL arrays. init_state's
         # leaves are committed to this process's device 0; re-place them
-        # (identical on every process — same seed) over the global mesh via
-        # host round-trip — with the GSPMD step's OWN state shardings when a
-        # TP axis exists: multi-controller jit refuses to reshard committed
-        # arrays, so a replicated placement would be rejected against the
-        # P('model') in_shardings (caught by the dp2xtp2 multihost test).
-        state = jax.tree_util.tree_map(np.asarray, state)
-        if mesh.shape[mesh.axis_names[1]] > 1:
-            from action_conditioned_gans_tpu.parallel.gspmd import state_shardings
-
-            state = jax.device_put(state, state_shardings(state, mesh))
-        else:
-            state = jax.device_put(state, NamedSharding(mesh, P()))
+        # (identical on every process — same seed) over the global mesh.
+        state = place_state_global(state, mesh)
     if mesh.shape[mesh.axis_names[1]] > 1:
         step_fn = make_gspmd_train_step(cfg, mesh, state)
     else:
@@ -107,10 +118,13 @@ def train(
     )
     start = 0
     if resume and ckpt.latest_step() is not None:
-        state = ckpt.restore(state)
-        # Restored leaves are committed to a single device; re-place them
-        # replicated over the mesh so they compose with the sharded batch.
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        # Tolerant of EMA-presence mismatches between the checkpoint and the
+        # current config (turning ema_decay on/off across a resume), then
+        # re-placed over the mesh with the step's expected shardings
+        # (TP-sharded when a model axis exists — the resume path previously
+        # replicated unconditionally, which multi-controller TP jit rejects).
+        state = restore_state(cfg, ckpt, template=state)
+        state = place_state_global(state, mesh)
         start = int(np.asarray(state.step))
         print(f"[acgan] resumed from checkpoint at step {start}")
 
@@ -144,10 +158,11 @@ def train(
     # eval scalars misleading); synthetic held-out clips are seeded
     # disjointly from the training stream inside held_out_batches.
     sample_fn = None
+    held_out = None
     held_out_stream = None
 
     def write_samples(step_idx: int) -> None:
-        nonlocal sample_fn, held_out_stream
+        nonlocal sample_fn, held_out, held_out_stream
         from action_conditioned_gans_tpu.train.sample import (
             eval_metrics,
             held_out_batches,
@@ -157,10 +172,17 @@ def train(
         horizon = max(t.rollout_length, 1)
         if sample_fn is None:
             sample_fn = make_rollout_fn(cfg)
+            # ONE fixed held-out batch, evaluated at every cadence boundary:
+            # the logged eval_* scalars then move only with the model, not
+            # with batch-sampling noise (a min(8,B)-clip eval re-drawn each
+            # time would swamp the trend), and successive TB image
+            # summaries show the same clips evolving. The stream handle is
+            # kept so the finally-block can close its file-source
+            # Prefetcher.
             held_out_stream = held_out_batches(
                 cfg, min(8, t.batch_size), horizon, t.seed + 7919
             )
-        held_out = next(held_out_stream)
+            held_out = next(held_out_stream)
         preds = sample_fn(state.g_params, held_out, jax.random.PRNGKey(0))
         em = eval_metrics(preds, held_out["frames"][:, 1:])
         writer.write(step_idx, em)

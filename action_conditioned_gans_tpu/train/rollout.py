@@ -68,7 +68,11 @@ def rollout_teacher_forced(
     while t % c:  # largest divisor <= requested chunk
         c -= 1
     if c == t:
-        preds = g_apply(g_params, fold(frames[:, :t]), fold(actions), fold(states))
+        # remat still applies to the full fold: without it the single
+        # (B*T) forward saves ALL its conv residuals for the backward pass —
+        # a run that fit under the scan path's per-step remat would OOM.
+        fwd = jax.checkpoint(g_apply) if remat else g_apply
+        preds = fwd(g_params, fold(frames[:, :t]), fold(actions), fold(states))
         return preds.reshape((b, t) + preds.shape[1:])
 
     n = t // c

@@ -72,6 +72,38 @@ def init_state(cfg: Config, rng: jax.Array) -> TrainState:
     )
 
 
+def restore_state(cfg: Config, mgr, step=None, template: TrainState = None) -> TrainState:
+    """Restore a TrainState whose on-disk EMA presence may differ from
+    ``cfg.train.ema_decay``.
+
+    Orbax matches the restore template's tree structure strictly, so a
+    checkpoint written with EMA on cannot restore into a template without
+    the g_ema subtree and vice versa. Try the config's own template first,
+    then the ema-toggled one, and finally RECONCILE the result to what the
+    config wants: ema-on with no stored EMA seeds g_ema from the restored
+    params; ema-off drops a stored EMA tree (so the state matches the
+    compiled step's expected structure/shardings either way).
+    """
+    import dataclasses
+
+    def tmpl(decay: float) -> TrainState:
+        c = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, ema_decay=decay))
+        return init_state(c, jax.random.PRNGKey(0))
+
+    want_ema = cfg.train.ema_decay > 0
+    try:
+        state = mgr.restore(template if template is not None else tmpl(cfg.train.ema_decay), step=step)
+    except Exception:
+        state = mgr.restore(tmpl(0.999 if not want_ema else 0.0), step=step)
+    if want_ema and state.g_ema is None:
+        state = state.replace(
+            g_ema=jax.tree_util.tree_map(jnp.copy, state.g_params)
+        )
+    if not want_ema and state.g_ema is not None:
+        state = state.replace(g_ema=None)
+    return state
+
+
 def param_count(state: TrainState) -> Tuple[int, int]:
     g = sum(x.size for x in jax.tree_util.tree_leaves(state.g_params))
     d = sum(x.size for x in jax.tree_util.tree_leaves(state.d_params))

@@ -93,13 +93,18 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             T x larger conv batches (VERDICT r1 next-step 4).
             """
             if not t.scheduled_sampling:
+                # With norm="batch" the fold would compute G's BN moments
+                # over B*T instead of the scan's per-timestep B — a silent
+                # dynamics change. time_chunk=1 keeps per-timestep stats
+                # (same moments as the scan) while still batching the rest.
+                chunk = 1 if m.norm == "batch" else t.rollout_time_chunk
                 return rollout_teacher_forced(
                     g_apply,
                     g_params,
                     frames,
                     actions,
                     states,
-                    time_chunk=t.rollout_time_chunk,
+                    time_chunk=chunk,
                     remat=t.remat_rollout,
                 )
             return rollout_generator(
@@ -135,15 +140,39 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         # chunk/(B*T) of the full batch: the single-chip 256^2 config5 OOM
         # (four ~3.75 GB conv temps on the 2*B*T=1920 folded batch) is
         # exactly this tensor (BASELINE.md config5 note).
+        # norm="batch" computes D's moments over the full batch; chunking
+        # would shrink them to per-chunk statistics (a dynamics change, not
+        # the exact math the knob promises), so BN disables microbatching.
         n_flat = real_next.shape[0]
-        mb = t.disc_microbatch if 0 < t.disc_microbatch < n_flat else 0
+        mb = (
+            t.disc_microbatch
+            if 0 < t.disc_microbatch < n_flat and m.norm != "batch"
+            else 0
+        )
         while mb and n_flat % mb:  # largest divisor <= requested size
             mb -= 1
         nc = (n_flat // mb) if mb else 1
 
-        def _chunked(x):
-            """(N, ...) -> (nc, N/nc, ...) for scanning; None passes through."""
-            return None if x is None else x.reshape((nc, -1) + x.shape[1:])
+        def _chunk_scan(arrays, body_fn, carry0):
+            """Scan ``body_fn`` over nc equal chunks of the folded axis.
+
+            ``arrays`` may contain Nones (absent action/state conditioning);
+            present entries are reshaped (N, ...) -> (nc, N/nc, ...) and
+            ``body_fn(carry, *chunk)`` receives the full tuple with Nones
+            re-inserted in place, so both the D and G chunk bodies share one
+            unpacking convention.
+            """
+            present = [a is not None for a in arrays]
+            xs = tuple(
+                a.reshape((nc, -1) + a.shape[1:]) for a in arrays if a is not None
+            )
+
+            def body(carry, chunk):
+                it = iter(chunk)
+                full = tuple(next(it) if p else None for p in present)
+                return body_fn(carry, *full)
+
+            return lax.scan(body, carry0, xs)
 
         def d_loss_on(d_params, fake_next, real, cond, act, st):
             if batch_d:
@@ -166,19 +195,8 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                 return jax.value_and_grad(d_loss_on, has_aux=True)(
                     d_params, fake_next, real_next, cond_frames, flat_actions, flat_states
                 )
-            xs = [
-                _chunked(a)
-                for a in (fake_next, real_next, cond_frames, flat_actions, flat_states)
-                if a is not None
-            ]
-            has_act = flat_actions is not None
-            has_st = flat_states is not None
 
-            def body(carry, chunk):
-                it = iter(chunk)
-                fk, rl, cd = next(it), next(it), next(it)
-                ac = next(it) if has_act else None
-                st = next(it) if has_st else None
+            def body(carry, fk, rl, cd, ac, st):
                 (l, (ra, fa)), g = jax.value_and_grad(d_loss_on, has_aux=True)(
                     d_params, fk, rl, cd, ac, st
                 )
@@ -188,8 +206,10 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
 
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, d_params)
             zero = jnp.zeros((), jnp.float32)
-            (loss, ra, fa, grads), _ = lax.scan(
-                body, (zero, zero, zero, zero_g), tuple(xs)
+            (loss, ra, fa, grads), _ = _chunk_scan(
+                (fake_next, real_next, cond_frames, flat_actions, flat_states),
+                body,
+                (zero, zero, zero, zero_g),
             )
             return (loss, (ra, fa)), grads
 
@@ -240,19 +260,8 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                 g_head_on, has_aux=True
             )(flat_preds, real_next, cond_frames, flat_actions, flat_states)
         else:
-            has_act = flat_actions is not None
-            has_st = flat_states is not None
-            xs = tuple(
-                _chunked(a)
-                for a in (flat_preds, real_next, cond_frames, flat_actions, flat_states)
-                if a is not None
-            )
 
-            def g_body(carry, chunk):
-                it = iter(chunk)
-                pr, rl, cd = next(it), next(it), next(it)
-                ac = next(it) if has_act else None
-                st = next(it) if has_st else None
+            def g_body(carry, pr, rl, cd, ac, st):
                 (l, (a, r)), dp = jax.value_and_grad(g_head_on, has_aux=True)(
                     pr, rl, cd, ac, st
                 )
@@ -260,8 +269,10 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                 return (cl + l / nc, ca + a / nc, cr + r / nc), dp * (1.0 / nc)
 
             zero = jnp.zeros((), jnp.float32)
-            (g_loss, g_adv, g_recon), dp_chunks = lax.scan(
-                g_body, (zero, zero, zero), xs
+            (g_loss, g_adv, g_recon), dp_chunks = _chunk_scan(
+                (flat_preds, real_next, cond_frames, flat_actions, flat_states),
+                g_body,
+                (zero, zero, zero),
             )
             d_preds = dp_chunks.reshape(flat_preds.shape)
         (g_grads,) = g_vjp(d_preds.reshape(preds.shape))

@@ -59,3 +59,46 @@ def test_parser_accepts_all_commands():
     p = build_parser()
     for cmd in ("train", "sample", "eval", "bench", "configs"):
         assert p.parse_args([cmd]).command == cmd
+
+
+def test_cli_sample_end_to_end(tmp_path, capsys):
+    """Drive `sample` through main() against a saved checkpoint — including
+    the lenient raw load of an EMA-carrying checkpoint and the --ema path
+    (an UnboundLocalError in this code path once passed the suite because
+    nothing drove the sample command)."""
+    import jax
+
+    from action_conditioned_gans_tpu.train.state import init_state
+    from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
+
+    overrides = [
+        "--set", "model.image_size=16", "--set", "model.g_levels=2",
+        "--set", "model.g_base_channels=8", "--set", "model.d_levels=2",
+        "--set", "model.d_base_channels=8", "--set", "model.group_norm_groups=4",
+        "--set", "model.compute_dtype=float32", "--set", "train.batch_size=2",
+    ]
+    train_overrides = overrides + ["--set", "train.ema_decay=0.9"]
+    from action_conditioned_gans_tpu.cli import apply_overrides
+
+    # Save a checkpoint WITH an EMA tree (as an ema_decay training run would).
+    from action_conditioned_gans_tpu.config import get_preset
+
+    cfg = apply_overrides(
+        get_preset("config1", workdir=str(tmp_path)), [o for o in train_overrides if o != "--set"]
+    )
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(f"{tmp_path}/checkpoints")
+    mgr.save(3, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    base = ["sample", "--preset", "config1", "--workdir", str(tmp_path),
+            "--num-clips", "2"] + overrides
+    # Raw sample of the EMA checkpoint under a PLAIN config (lenient restore).
+    assert main(base) == 0
+    out1 = capsys.readouterr().out
+    assert "eval_l2" in out1
+    # --ema path (template force-widened).
+    assert main(base + ["--ema"]) == 0
+    out2 = capsys.readouterr().out
+    assert "eval_l2" in out2

@@ -98,3 +98,32 @@ def test_predictor_use_ema(tmp_path):
     m2.close()
     with pytest.raises(ValueError, match="no EMA"):
         Predictor.from_checkpoint(cfg_off, use_ema=True)
+
+
+def test_predictor_use_ema_without_decay_in_config(tmp_path):
+    """An EMA checkpoint must be loadable with use_ema=True even when the
+    CALLER's config has ema_decay=0 (the restore template is force-widened
+    to contain the g_ema subtree)."""
+    import dataclasses
+
+    train_cfg = dataclasses.replace(
+        tiny_config(str(tmp_path)),
+        train=dataclasses.replace(tiny_config(str(tmp_path)).train, ema_decay=0.9),
+    )
+    state = init_state(train_cfg, jax.random.PRNGKey(0))
+    state = state.replace(
+        g_ema=jax.tree_util.tree_map(lambda x: x + 0.01, state.g_params)
+    )
+    mgr = CheckpointManager(f"{train_cfg.workdir}/checkpoints")
+    mgr.save(1, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    plain_cfg = tiny_config(str(tmp_path))  # ema_decay == 0
+    assert plain_cfg.train.ema_decay == 0.0
+    ema = Predictor.from_checkpoint(plain_cfg, use_ema=True)
+    raw = Predictor.from_checkpoint(plain_cfg)
+    frame = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    action = jnp.ones((2, 4), jnp.float32)
+    diff = float(jnp.max(jnp.abs(raw.predict(frame, action) - ema.predict(frame, action))))
+    assert diff > 0

@@ -71,3 +71,31 @@ def test_stacksteps_close_propagates():
     inner = FakeDataset()
     StackSteps(inner, k=2).close()
     assert inner.closed
+
+
+def test_error_sentinel_survives_full_queue():
+    """Fill-thread failure while the queue is FULL must still reach the
+    consumer: the sentinel put retries until delivered (a single timed put
+    used to drop it, hanging the consumer forever with the error unread)."""
+    import time
+
+    from action_conditioned_gans_tpu.data.pipeline import Prefetcher
+
+    class OneGoodThenBoom:
+        def __init__(self):
+            self.calls = 0
+
+        def batch_at(self, i):
+            self.calls += 1
+            if self.calls > 1:
+                raise RuntimeError("boom at batch 2")
+            return {"x": i}
+
+    pf = Prefetcher(OneGoodThenBoom(), depth=1)
+    # Let the fill thread produce batch 1 (fills the depth-1 queue), fail on
+    # batch 2, and outlive the old 1-second sentinel timeout.
+    time.sleep(1.6)
+    assert pf.batch_at(0) == {"x": 0}
+    with pytest.raises(RuntimeError, match="boom"):
+        pf.batch_at(1)
+    pf.close()

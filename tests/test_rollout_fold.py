@@ -144,3 +144,24 @@ def test_remat_chunked_matches_unremat():
     g_remat = jax.grad(lambda p: loss(p, True))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_full_fold_remat_grads_match():
+    """remat=True on the FULL fold (time_chunk=0) must be a pure memory
+    knob: gradients identical to the non-remat fold (it was silently
+    ignored before)."""
+    mcfg = tiny_model()
+    g_apply, params = make_apply(mcfg)
+    batch = generate_clips(jax.random.PRNGKey(3), 2, 4, mcfg.image_size, mcfg.action_dim)
+
+    def loss(p, remat):
+        preds = rollout_teacher_forced(
+            g_apply, p, batch["frames"], batch["actions"], None,
+            time_chunk=0, remat=remat,
+        )
+        return jnp.mean(jnp.square(preds))
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain), jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)

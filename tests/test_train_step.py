@@ -377,3 +377,23 @@ def test_ema_generator_weights():
         jax.tree_util.tree_leaves(expected),
     ):
         np.testing.assert_allclose(np.asarray(e), w, atol=1e-6, rtol=1e-6)
+
+
+def test_batch_norm_disables_fold_and_microbatch():
+    """norm='batch' must keep the scan-equivalent per-timestep BN moments:
+    the teacher-forced fold runs at time_chunk=1 and disc_microbatch is
+    ignored — a step with the knob set equals one without it EXACTLY."""
+    def bn_cfg(mb):
+        c = tiny_config(rollout_length=2, disc_microbatch=mb)
+        return dataclasses.replace(c, model=dataclasses.replace(c.model, norm="batch"))
+
+    batch = make_batch(bn_cfg(0))
+    rng = jax.random.PRNGKey(5)
+    a, ma = jit_train_step(bn_cfg(0))(init_state(bn_cfg(0), jax.random.PRNGKey(0)), batch, rng)
+    b, mb_ = jit_train_step(bn_cfg(2))(init_state(bn_cfg(2), jax.random.PRNGKey(0)), batch, rng)
+    assert float(ma["d_loss"]) == float(mb_["d_loss"])
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves((a.g_params, a.d_params)),
+        jax.tree_util.tree_leaves((b.g_params, b.d_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
