@@ -56,3 +56,33 @@ def test_generator_forward_pinned():
     out = np.asarray(gen.apply(params, frame, action), np.float64)
     np.testing.assert_allclose(out.mean(), 0.01044, atol=2e-3)
     np.testing.assert_allclose(out.std(), 0.06716, atol=2e-3)
+
+
+def test_train_step_loss_trajectory_golden():
+    """Four fused steps at a pinned tiny f32 config reproduce the recorded
+    (d_loss, g_loss, g_recon) trajectory — a drift guard over the ENTIRE
+    step semantics (rollout fold, vjp chaining, D-before-G ordering, rng
+    folding, Adam). Tolerance is loose enough for cross-platform float
+    reassociation but catches any semantic change. Regenerate deliberately
+    if semantics change on purpose (see git history of these values)."""
+    import jax
+
+    from tests.test_train_step import make_batch, tiny_config
+
+    from action_conditioned_gans_tpu.train import init_state
+    from action_conditioned_gans_tpu.train.step import jit_train_step
+
+    golden = [
+        (1.407811, 1.797940, 0.104573),
+        (1.352207, 2.201909, 0.140978),
+        (1.414032, 2.000463, 0.129580),
+        (1.380864, 2.087653, 0.129363),
+    ]
+    cfg = tiny_config(rollout_length=2)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    step = jit_train_step(cfg)
+    for i, (d, g, r) in enumerate(golden):
+        state, m = step(state, make_batch(cfg, seed=i), jax.random.PRNGKey(100))
+        np.testing.assert_allclose(float(m["d_loss"]), d, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(float(m["g_loss"]), g, atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(float(m["g_recon"]), r, atol=2e-4, rtol=1e-3)
