@@ -87,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if args.command == "configs":
         from action_conditioned_gans_tpu.config import PRESETS
 
@@ -145,7 +146,7 @@ def main(argv=None) -> int:
                 try:
                     state = ckpt.restore(state)
                 except Exception as e:
-                    p.error(
+                    parser.error(
                         "--ema needs a checkpoint trained with "
                         f"train.ema_decay > 0 (restore failed: {e})"
                     )
@@ -160,7 +161,7 @@ def main(argv=None) -> int:
             print("[acgan] WARNING: no checkpoint found; sampling from init")
         if args.ema:
             if state.g_ema is None:
-                p.error("--ema needs a checkpoint trained with train.ema_decay > 0")
+                parser.error("--ema needs a checkpoint trained with train.ema_decay > 0")
             state = state.replace(g_params=state.g_ema)
         if args.command == "sample":
             out = args.out or f"{cfg.workdir}/samples"

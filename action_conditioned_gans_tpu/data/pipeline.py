@@ -90,15 +90,22 @@ class Prefetcher:
         del index  # stream-ordered, like the underlying file reader
         if self._stop.is_set():
             raise RuntimeError("Prefetcher is closed")
-        # Timed get so a fill-thread death between sentinel attempts (or any
-        # missed wakeup) surfaces self._err instead of hanging.
+        # Timed get so a fill-thread death between sentinel attempts, a
+        # cross-thread close(), or any missed wakeup surfaces instead of
+        # hanging the consumer.
         while True:
             try:
                 item = self._q.get(timeout=1.0)
                 break
             except queue.Empty:
-                if self._err is not None and not self._thread.is_alive():
-                    raise self._err
+                if self._stop.is_set():
+                    raise RuntimeError("Prefetcher is closed")
+                if not self._thread.is_alive():
+                    if self._err is not None:
+                        raise self._err
+                    raise RuntimeError(
+                        "Prefetcher fill thread died without an error"
+                    )
                 continue
         if item is None:
             raise self._err  # type: ignore[misc]

@@ -103,9 +103,18 @@ class Predictor:
                         "use_ema=True but the checkpoint has no EMA weights "
                         f"(train with train.ema_decay > 0); restore failed: {e}"
                     ) from e
-                # Raw load of an EMA-carrying checkpoint under a plain
-                # config: retry with the widened template.
-                state = mgr.restore(tmpl(0.999), step=step)
+                # EMA-presence mismatch in either direction: retry with the
+                # TOGGLED template (widened for an EMA-carrying checkpoint
+                # under a plain config; narrowed for a plain checkpoint
+                # under an EMA config). If that also fails, the checkpoint
+                # is broken for some other reason — surface the ORIGINAL
+                # error, not the retry's misleading structure mismatch.
+                try:
+                    state = mgr.restore(
+                        tmpl(0.0 if want_ema_tree else 0.999), step=step
+                    )
+                except Exception:
+                    raise e
         finally:
             mgr.close()
         return cls(cfg, state.g_ema if use_ema else state.g_params)

@@ -93,8 +93,14 @@ def restore_state(cfg: Config, mgr, step=None, template: TrainState = None) -> T
     want_ema = cfg.train.ema_decay > 0
     try:
         state = mgr.restore(template if template is not None else tmpl(cfg.train.ema_decay), step=step)
-    except Exception:
-        state = mgr.restore(tmpl(0.999 if not want_ema else 0.0), step=step)
+    except Exception as first:
+        try:
+            state = mgr.restore(tmpl(0.999 if not want_ema else 0.0), step=step)
+        except Exception:
+            # Not an EMA-structure mismatch — surface the ORIGINAL failure
+            # (truncated file, shape change, ...), not the retry's
+            # misleading structure error.
+            raise first
     if want_ema and state.g_ema is None:
         state = state.replace(
             g_ema=jax.tree_util.tree_map(jnp.copy, state.g_params)

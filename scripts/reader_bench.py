@@ -68,7 +68,12 @@ def main() -> int:
 
             c = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, source=source))
             ds = make_dataset(c)
-            n_batches = max(NUM_CLIPS // cfg.train.batch_size, 1)
+            n_batches = NUM_CLIPS // cfg.train.batch_size
+            if n_batches < 2:
+                raise SystemExit(
+                    f"need at least {2 * cfg.train.batch_size} clips to time "
+                    f"one post-warmup batch (got {NUM_CLIPS})"
+                )
             ds.batch_at(0)  # warm (file open, thread spin-up, tf graph build)
             t0 = time.perf_counter()
             for i in range(1, n_batches):

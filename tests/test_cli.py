@@ -102,3 +102,36 @@ def test_cli_sample_end_to_end(tmp_path, capsys):
     assert main(base + ["--ema"]) == 0
     out2 = capsys.readouterr().out
     assert "eval_l2" in out2
+
+
+def test_cli_ema_on_plain_checkpoint_errors_cleanly(tmp_path, capsys):
+    """--ema against a checkpoint WITHOUT EMA weights exits with the
+    friendly argparse error (a NameError on an undefined parser variable
+    once lurked in this path)."""
+    import jax
+
+    from action_conditioned_gans_tpu.config import get_preset
+    from action_conditioned_gans_tpu.cli import apply_overrides
+    from action_conditioned_gans_tpu.train.state import init_state
+    from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
+
+    overrides = [
+        "model.image_size=16", "model.g_levels=2", "model.g_base_channels=8",
+        "model.d_levels=2", "model.d_base_channels=8",
+        "model.group_norm_groups=4", "model.compute_dtype=float32",
+        "train.batch_size=2",
+    ]
+    cfg = apply_overrides(get_preset("config1", workdir=str(tmp_path)), overrides)
+    assert cfg.train.ema_decay == 0.0
+    mgr = CheckpointManager(f"{tmp_path}/checkpoints")
+    mgr.save(1, jax.device_get(init_state(cfg, jax.random.PRNGKey(0))), force=True)
+    mgr.wait()
+    mgr.close()
+
+    argv = ["sample", "--preset", "config1", "--workdir", str(tmp_path), "--ema"]
+    for o in overrides:
+        argv += ["--set", o]
+    with pytest.raises(SystemExit) as exc:
+        main(argv)
+    assert exc.value.code == 2  # argparse .error(), not a NameError
+    assert "ema_decay" in capsys.readouterr().err

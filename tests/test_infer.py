@@ -127,3 +127,25 @@ def test_predictor_use_ema_without_decay_in_config(tmp_path):
     action = jnp.ones((2, 4), jnp.float32)
     diff = float(jnp.max(jnp.abs(raw.predict(frame, action) - ema.predict(frame, action))))
     assert diff > 0
+
+
+def test_predictor_raw_load_of_plain_checkpoint_under_ema_config(tmp_path):
+    """use_ema=False with an EMA-configured cfg must still load a checkpoint
+    trained WITHOUT EMA (the fallback retries with the NARROWED template —
+    it once retried with the identical widened one and re-failed)."""
+    import dataclasses
+
+    plain_cfg = tiny_config(str(tmp_path))
+    state = init_state(plain_cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(f"{plain_cfg.workdir}/checkpoints")
+    mgr.save(1, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    ema_cfg = dataclasses.replace(
+        plain_cfg, train=dataclasses.replace(plain_cfg.train, ema_decay=0.999)
+    )
+    p = Predictor.from_checkpoint(ema_cfg)  # must not raise
+    frame = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    action = jnp.ones((2, 4), jnp.float32)
+    assert p.predict(frame, action).shape == frame.shape

@@ -99,3 +99,35 @@ def test_error_sentinel_survives_full_queue():
     with pytest.raises(RuntimeError, match="boom"):
         pf.batch_at(1)
     pf.close()
+
+
+def test_close_unblocks_waiting_consumer():
+    """close() from another thread must not leave a consumer spinning in
+    batch_at forever (the Empty-retry loop re-checks the stop flag)."""
+    import threading
+    import time
+
+    from action_conditioned_gans_tpu.data.pipeline import Prefetcher
+
+    class Slow:
+        def batch_at(self, i):
+            time.sleep(60)  # never actually produces within the test
+            return {"x": i}
+
+    pf = Prefetcher(Slow(), depth=1)
+    result = {}
+
+    def consume():
+        try:
+            pf.batch_at(0)
+            result["out"] = "item"
+        except RuntimeError as e:
+            result["out"] = str(e)
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.3)  # consumer is inside the timed-get loop
+    pf.close()
+    t.join(timeout=10)
+    assert not t.is_alive(), "consumer stayed blocked after close()"
+    assert "closed" in result["out"]
