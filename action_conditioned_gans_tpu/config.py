@@ -259,7 +259,7 @@ PRESETS = {
         name="config2",
         model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
         data=DataConfig(source="synthetic", seq_len=11),
-        train=TrainConfig(batch_size=16, rollout_length=10, steps_per_call=16),
+        train=TrainConfig(batch_size=16, rollout_length=10, steps_per_call=32),
     ),
     # 3. "128x128 frames, deeper discriminator, batch 32 data-parallel on
     #    v4-8"
@@ -269,7 +269,7 @@ PRESETS = {
             image_size=128, action_dim=4, g_levels=4, d_levels=5, d_extra_layers=1
         ),
         data=DataConfig(source="synthetic", seq_len=2),
-        train=TrainConfig(batch_size=32, rollout_length=1, steps_per_call=16),
+        train=TrainConfig(batch_size=32, rollout_length=1, steps_per_call=32),
         mesh=MeshConfig(data=-1, model=1),
     ),
     # 4. "State+action joint conditioning with scheduled-sampling rollouts,
