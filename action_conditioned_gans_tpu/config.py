@@ -103,12 +103,19 @@ class DataConfig:
 
     source: str = "synthetic"
     data_dir: Optional[str] = None
-    # Clip length loaded per example: model trains on (frame_t, action_t,
-    # frame_{t+1}) slices for T=1, full clips for rollout training.
+    # Clip length for DIRECTLY-constructed readers (tests, tools). The
+    # training pipeline derives its window length from
+    # train.rollout_length + 1; make_dataset ignores this field.
     seq_len: int = 2
+    # Clip-level shuffle buffer, applied by BOTH file readers (tf.data
+    # shuffle() and the native reader's seeded buffer shuffle).
     shuffle_buffer: int = 256
     # BAIR TFRecord image feature key prefix ("image_aux1" or "image_main").
     tfrecord_image_key: str = "image_aux1"
+    # Frame payload encoding in TFRecords: "raw" (H*W*3 bytes), "image"
+    # (PNG/JPEG, any size — resized to raw_image_size), or "auto" (per-frame
+    # length check; compressed frames resized).
+    tfrecord_encoding: str = "auto"
     # Raw stored frame size before crop/resize (BAIR stores 64x64).
     raw_image_size: int = 64
     # Timesteps stored per TFRecord clip (BAIR stores 30).

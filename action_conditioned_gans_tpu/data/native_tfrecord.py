@@ -240,6 +240,13 @@ class NativeTFRecordClips:
         clip_len: int = 30,
         image_key: str = "image_aux1",
         raw_image_size: int = 64,
+        # Seeded buffer shuffle over clips (same idea as tf.data's
+        # shuffle(buffer_size)): 0/1 disables — the default for DIRECT
+        # construction so round-trip tests see stream order; make_dataset
+        # passes DataConfig.shuffle_buffer (previously silently dropped for
+        # this source, leaving native training batches in sorted-file order
+        # every epoch).
+        shuffle_buffer: int = 0,
         seed: int = 0,
         host_id: int = 0,
         num_hosts: int = 1,
@@ -274,11 +281,15 @@ class NativeTFRecordClips:
         self.image_key = image_key
         self.raw_image_size = raw_image_size
         self.repeat = repeat
+        self.shuffle_buffer = shuffle_buffer
         self._rng = np.random.RandomState(seed)
+        # Separate stream for the shuffle so window-start draws stay aligned
+        # with the unshuffled reader given the same seed.
+        self._shuffle_rng = np.random.RandomState(seed + 1)
         self._out_shardings = out_shardings
         self._gen = None
 
-    def _records(self):
+    def _stream(self):
         while True:
             for f in self._files:
                 yield from read_clips(
@@ -292,6 +303,27 @@ class NativeTFRecordClips:
                 )
             if not self.repeat:
                 return
+
+    def _records(self):
+        if self.shuffle_buffer <= 1:
+            yield from self._stream()
+            return
+        # Seeded buffer shuffle (tf.data shuffle(buffer_size) semantics):
+        # keep a buffer of N clips, emit a uniformly-drawn one, replace it
+        # with the next from the stream. Deterministic in the seed, so the
+        # resume story (seed + step count) holds like the tf.data path.
+        buf = []
+        for item in self._stream():
+            if len(buf) < self.shuffle_buffer:
+                buf.append(item)
+                continue
+            j = self._shuffle_rng.randint(len(buf))
+            out = buf[j]
+            buf[j] = item
+            yield out
+        while buf:  # repeat=False: drain, still shuffled
+            j = self._shuffle_rng.randint(len(buf))
+            yield buf.pop(j)
 
     def _resize(self, frames_f: np.ndarray) -> np.ndarray:
         """Bilinear host resize matching ``tf.image.resize`` defaults

@@ -27,11 +27,15 @@ def place_batch(np_batch, out_shardings):
     devices; no cross-host data movement.
     """
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     if out_shardings is None:
-        return {k: jnp.asarray(v) for k, v in np_batch.items()}
+        # No placement requested: stay on the HOST. (Eagerly device-putting
+        # here made StackSteps round-trip every sub-batch through the device
+        # and back before the single real placement of the stacked array —
+        # pure wasted transfer bandwidth on a tunneled TPU. jit transfers
+        # host arrays exactly once at dispatch anyway.)
+        return {k: np.asarray(v) for k, v in np_batch.items()}
     if jax.process_count() > 1:
         return {
             k: jax.make_array_from_process_local_data(out_shardings[k], np.asarray(v))
@@ -154,14 +158,12 @@ class StackSteps:
 
     def batch_at(self, index):
         import numpy as np
-        import jax
 
-        parts = [
-            jax.device_get(self._ds.batch_at(index * self._k + j))
-            for j in range(self._k)
-        ]
+        # Inner readers run with out_shardings=None and so return HOST
+        # arrays (place_batch contract) — stack on host, place ONCE.
+        parts = [self._ds.batch_at(index * self._k + j) for j in range(self._k)]
         out = {
-            key: np.stack([p[key] for p in parts]) for key in parts[0]
+            key: np.stack([np.asarray(p[key]) for p in parts]) for key in parts[0]
         }
         return place_batch(out, self._shardings)
 
@@ -229,6 +231,7 @@ def make_dataset(
             state_dim=m.state_dim or 3,
             clip_len=d.clip_len,
             image_key=d.tfrecord_image_key,
+            encoding=d.tfrecord_encoding,
             raw_image_size=d.raw_image_size,
             shuffle_buffer=d.shuffle_buffer,
             seed=t.seed,
@@ -249,6 +252,7 @@ def make_dataset(
             clip_len=d.clip_len,
             image_key=d.tfrecord_image_key,
             raw_image_size=d.raw_image_size,
+            shuffle_buffer=d.shuffle_buffer,
             seed=t.seed,
             host_id=host_id,
             num_hosts=num_hosts,

@@ -65,8 +65,9 @@ def _single_clip(key: jax.Array, seq_len: int, image_size: int, action_dim: int)
     grid_x = coords[None, :] * jnp.ones((image_size, 1))
 
     # Per-clip random smooth background (stands in for the lab-table texture).
-    g = jax.random.uniform(k_bg, (2, 3), minval=0.0, maxval=0.35)
-    base = jax.random.uniform(k_bg, (3,), minval=0.15, maxval=0.45)
+    k_grad, k_base = jax.random.split(k_bg)
+    g = jax.random.uniform(k_grad, (2, 3), minval=0.0, maxval=0.35)
+    base = jax.random.uniform(k_base, (3,), minval=0.15, maxval=0.45)
     bg = base + grid_y[..., None] * g[0] + grid_x[..., None] * g[1]
 
     obj_color = jax.random.uniform(k_obj, (3,), minval=0.3, maxval=1.0)
@@ -98,17 +99,22 @@ def _single_clip(key: jax.Array, seq_len: int, image_size: int, action_dim: int)
         pushed = jnp.clip(obj + delta * strength, _MARGIN, 1 - _MARGIN)
         new_obj = jnp.where(gap < _CONTACT, pushed, obj)
         grip = action[2] if action.shape[0] > 2 else jnp.zeros(())
-        state = jnp.array([new_pusher[0], new_pusher[1], 0.0]) + jnp.array(
-            [0.0, 0.0, 1.0]
-        ) * grip
-        return (new_pusher, new_obj), (new_pusher, new_obj, grip, state)
+        return (new_pusher, new_obj), (new_pusher, new_obj, grip)
 
-    (_, _), (pushers, objs, grips, states) = lax.scan(dynamics, (pusher0, obj0), actions)
+    (_, _), (pushers, objs, grips) = lax.scan(dynamics, (pusher0, obj0), actions)
     # Positions per frame: frame 0 is the initial scene, frames 1..T-1 follow
     # the action at t-1.
     all_pushers = jnp.concatenate([pusher0[None], pushers], axis=0)
     all_objs = jnp.concatenate([obj0[None], objs], axis=0)
     all_grips = jnp.concatenate([jnp.zeros((1,)), grips], axis=0)
+    # states[t] = end-effector state AT SOURCE FRAME t (pre-action), matching
+    # the file-source contract (tfrecord.py slices {t}/endeffector_pos at the
+    # transition's source frame). The post-action state was emitted before r2
+    # — off by one vs the readers, so a model trained on synthetic saw
+    # shifted state semantics relative to real BAIR records.
+    states = jnp.stack(
+        [all_pushers[:-1, 0], all_pushers[:-1, 1], all_grips[:-1]], axis=-1
+    )
 
     frames01 = jax.vmap(
         lambda p, o, gr: _render_frame(grid_y, grid_x, bg, p, o, obj_color, gr)

@@ -116,15 +116,23 @@ class TFRecordClips:
                 img = tf.io.decode_image(b, channels=3, expand_animations=False)
                 img.set_shape((None, None, 3))
             else:  # auto: raw iff the payload is exactly H*W*3 bytes
+                def _decode_compressed():
+                    # Compressed frames may decode at ANY size — resize to
+                    # the raw grid instead of reshaping (a reshape crashed
+                    # for decoded sizes != raw_image_size).
+                    dec = tf.io.decode_image(b, channels=3, expand_animations=False)
+                    dec.set_shape((None, None, 3))
+                    return tf.cast(
+                        tf.image.resize(tf.cast(dec, tf.float32), (raw_hw, raw_hw)),
+                        tf.uint8,
+                    )
+
                 img = tf.cond(
                     tf.equal(tf.strings.length(b), raw_hw * raw_hw * 3),
                     lambda: tf.reshape(
                         tf.io.decode_raw(b, tf.uint8), (raw_hw, raw_hw, 3)
                     ),
-                    lambda: tf.reshape(
-                        tf.io.decode_image(b, channels=3, expand_animations=False),
-                        (raw_hw, raw_hw, 3),
-                    ),
+                    _decode_compressed,
                 )
             return img
 

@@ -8,6 +8,7 @@ and quantitative eval metrics (L1/L2/PSNR vs ground truth).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional
 
@@ -23,8 +24,13 @@ from action_conditioned_gans_tpu.train.state import TrainState
 from action_conditioned_gans_tpu.utils.images import save_gif, save_image_grid, save_rollout_strip
 
 
+@functools.lru_cache(maxsize=4)
 def make_rollout_fn(cfg: Config):
-    """Jitted fully-autoregressive rollout: (g_params, batch, rng) -> preds."""
+    """Jitted fully-autoregressive rollout: (g_params, batch, rng) -> preds.
+
+    Memoized on the (hashable, frozen) config: rebuilding the closure per
+    call would defeat the jax.jit cache and recompile the whole T-step scan
+    on every evaluate()/sample() invocation."""
     gen = Generator(cfg.model)
 
     def g_apply(params, frame, action, state):
@@ -117,7 +123,18 @@ def held_out_batches(cfg: Config, batch_size: int, horizon: int, seed: int):
                 cfg.train, batch_size=batch_size, rollout_length=horizon, seed=seed
             ),
         )
-        yield from iter(make_dataset(eval_cfg))
+        ds = make_dataset(eval_cfg)
+        try:
+            yield from iter(ds)
+        finally:
+            # File sources wrap a Prefetcher whose fill THREAD keeps the
+            # object reachable — it never stops via garbage collection, only
+            # via close(). This finally runs when the caller closes/drops
+            # the generator, so every evaluate()/sample() releases its
+            # reader thread.
+            close = getattr(ds, "close", None)
+            if close is not None:
+                close()
 
 
 def evaluate(
@@ -135,12 +152,15 @@ def evaluate(
     fn = make_rollout_fn(cfg)
     stream = held_out_batches(cfg, batch_size, horizon, seed)
     acc: Dict[str, float] = {}
-    for b in range(num_batches):
-        batch = next(stream)
-        preds = fn(state.g_params, batch, jax.random.PRNGKey(b))
-        m = eval_metrics(preds, batch["frames"][:, 1:])
-        for k, v in m.items():
-            acc[k] = acc.get(k, 0.0) + v / num_batches
+    try:
+        for b in range(num_batches):
+            batch = next(stream)
+            preds = fn(state.g_params, batch, jax.random.PRNGKey(b))
+            m = eval_metrics(preds, batch["frames"][:, 1:])
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + v / num_batches
+    finally:
+        stream.close()  # releases a file-source Prefetcher's reader thread
     acc["eval_batches"] = num_batches
     acc["eval_horizon"] = horizon
     return acc
@@ -159,7 +179,11 @@ def sample(
     metrics."""
     os.makedirs(out_dir, exist_ok=True)
     horizon = horizon or max(cfg.train.rollout_length, 1)
-    batch = next(held_out_batches(cfg, num_clips, horizon, seed))
+    stream = held_out_batches(cfg, num_clips, horizon, seed)
+    try:
+        batch = next(stream)
+    finally:
+        stream.close()  # releases a file-source Prefetcher's reader thread
     preds = make_rollout_fn(cfg)(state.g_params, batch, jax.random.PRNGKey(0))
     preds = np.asarray(preds, np.float32)
     targets = np.asarray(batch["frames"][:, 1:], np.float32)

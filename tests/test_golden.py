@@ -30,12 +30,14 @@ def test_synthetic_clip_statistics_pinned():
         a_absmean=np.abs(a).mean(),
         s_mean=s.mean(),
     )
+    # Regenerated r2b: the k_bg key-reuse fix changed background colors and
+    # the states contract moved to at-source-frame (pre-action) semantics.
     want = dict(
-        f_mean=-0.05107,
-        f_std=0.32844,
+        f_mean=-0.01721,
+        f_std=0.23585,
         a_mean=-0.01226,
         a_absmean=0.08787,
-        s_mean=0.36903,
+        s_mean=0.36790,
     )
     for k, v in want.items():
         np.testing.assert_allclose(got[k], v, atol=2e-3, err_msg=k)
@@ -72,11 +74,13 @@ def test_train_step_loss_trajectory_golden():
     from action_conditioned_gans_tpu.train import init_state
     from action_conditioned_gans_tpu.train.step import jit_train_step
 
+    # Regenerated r2b with the synthetic-data fixes (k_bg split, states at
+    # source frame).
     golden = [
-        (1.407811, 1.797940, 0.104573),
-        (1.352207, 2.201909, 0.140978),
-        (1.414032, 2.000463, 0.129580),
-        (1.380864, 2.087653, 0.129363),
+        (1.403255, 1.531947, 0.075054),
+        (1.400398, 1.732495, 0.102866),
+        (1.400784, 1.614021, 0.087148),
+        (1.372578, 1.408354, 0.064585),
     ]
     cfg = tiny_config(rollout_length=2)
     state = init_state(cfg, jax.random.PRNGKey(0))
