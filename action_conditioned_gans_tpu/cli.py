@@ -157,6 +157,14 @@ def main(argv=None) -> int:
 
                 state = restore_state(cfg, ckpt, template=state)
             print(f"[acgan] loaded checkpoint step {ckpt.latest_step()}")
+        elif args.ema:
+            # Without a checkpoint the forced ema_decay would seed g_ema
+            # from the INIT params and silently sample untrained weights;
+            # fail like the no-EMA-in-checkpoint case does (ADVICE r2).
+            parser.error(
+                f"--ema needs a checkpoint under {cfg.workdir}/checkpoints "
+                "(none found)"
+            )
         else:
             print("[acgan] WARNING: no checkpoint found; sampling from init")
         if args.ema:

@@ -97,24 +97,26 @@ class Predictor:
             try:
                 state = mgr.restore(tmpl(0.999 if want_ema_tree else 0.0), step=step)
             except Exception as e:
-                if use_ema:
-                    # The checkpoint has no g_ema subtree.
-                    raise ValueError(
-                        "use_ema=True but the checkpoint has no EMA weights "
-                        f"(train with train.ema_decay > 0); restore failed: {e}"
-                    ) from e
-                # EMA-presence mismatch in either direction: retry with the
-                # TOGGLED template (widened for an EMA-carrying checkpoint
-                # under a plain config; narrowed for a plain checkpoint
-                # under an EMA config). If that also fails, the checkpoint
-                # is broken for some other reason — surface the ORIGINAL
-                # error, not the retry's misleading structure mismatch.
+                # Retry with the TOGGLED template (widened for an
+                # EMA-carrying checkpoint under a plain config; narrowed
+                # for a plain checkpoint under an EMA config). Under
+                # use_ema=True, "no EMA weights" is only reported when the
+                # non-EMA template DOES restore — i.e. the checkpoint is
+                # fine but genuinely EMA-less; any other failure (corrupt
+                # file, shape mismatch, wrong step) surfaces the ORIGINAL
+                # error instead of masquerading as an EMA problem
+                # (ADVICE r2, mirroring train.state.restore_state).
                 try:
                     state = mgr.restore(
                         tmpl(0.0 if want_ema_tree else 0.999), step=step
                     )
                 except Exception:
                     raise e
+                if use_ema:
+                    raise ValueError(
+                        "use_ema=True but the checkpoint has no EMA weights "
+                        "(train with train.ema_decay > 0)"
+                    ) from e
         finally:
             mgr.close()
         return cls(cfg, state.g_ema if use_ema else state.g_params)

