@@ -118,6 +118,14 @@ class DataConfig:
     tfrecord_encoding: str = "auto"
     # Raw stored frame size before crop/resize (BAIR stores 64x64).
     raw_image_size: int = 64
+    # Crop stage (SURVEY.md §1: "frame decode -> crop/resize -> normalize"):
+    # square crop taken from the RAW frame before the resize, one offset per
+    # clip. 0 disables (the BAIR 64x64-stored default, where crop is a
+    # no-op). crop_random=False -> center crop; True -> per-clip random
+    # offset, drawn statelessly from (seed, stream index) so both file
+    # readers crop identically and crops survive resume fast-forward.
+    crop: int = 0
+    crop_random: bool = False
     # Timesteps stored per TFRecord clip (BAIR stores 30).
     clip_len: int = 30
 
