@@ -219,6 +219,14 @@ bool find_feature(const uint8_t* rec, size_t len, const char* key, FeatureView* 
 
 extern "C" {
 
+// Binary-contract version of this library. Bump whenever the exported
+// function set or any argument/result semantics change; the Python loader
+// refuses to run against a mismatched prebuilt .so (ADVICE r2: an mtime
+// heuristic silently loaded old-semantics code when a rebuild failed).
+//   v2: + acgan_abi_version, acgan_get_bytes, acgan_parse_clip_floats
+//       (variable-length/compressed frame support).
+int acgan_abi_version() { return 2; }
+
 struct Reader {
   FILE* f;
   std::vector<uint8_t> buf;
@@ -309,6 +317,46 @@ void acgan_writer_close(Writer* w) {
 //   states : n_steps * state_dim   f32   (state_dim 0 => skipped)
 // Key layout: "<t>/<image_key>/encoded", "<t>/action", "<t>/endeffector_pos".
 // Returns 0 on success, -(t+1) on the first missing/short timestep t.
+// Zero-copy accessor for one bytes feature (e.g. a compressed frame whose
+// length the fixed-size parse path cannot assume): *out points into the
+// record buffer, valid as long as the buffer is. Returns 0 on success,
+// -1 when the key is missing or holds no BytesList.
+int acgan_get_bytes(const uint8_t* rec, uint64_t len, const char* key,
+                    const uint8_t** out, uint64_t* out_len) {
+  FeatureView v;
+  if (!find_feature(rec, len, key, &v) || v.bytes == nullptr) return -1;
+  *out = v.bytes;
+  *out_len = v.bytes_len;
+  return 0;
+}
+
+// Float-features-only variant of acgan_parse_clip (actions/states) for
+// clips whose frames are compressed: the caller extracts frame bytes per
+// timestep via acgan_get_bytes and decodes them host-side.
+// Returns 0 on success, -(t+1) on the first missing/short timestep t.
+int acgan_parse_clip_floats(const uint8_t* rec, uint64_t len, int n_steps,
+                            float* actions, int action_dim,
+                            float* states, int state_dim) {
+  char key[256];
+  for (int t = 0; t < n_steps; t++) {
+    snprintf(key, sizeof(key), "%d/action", t);
+    FeatureView act;
+    if (!find_feature(rec, len, key, &act) || (int)act.floats.size() < action_dim)
+      return -(t + 1);
+    memcpy(actions + (uint64_t)t * action_dim, act.floats.data(),
+           sizeof(float) * action_dim);
+    if (state_dim > 0) {
+      snprintf(key, sizeof(key), "%d/endeffector_pos", t);
+      FeatureView st;
+      if (!find_feature(rec, len, key, &st) || (int)st.floats.size() < state_dim)
+        return -(t + 1);
+      memcpy(states + (uint64_t)t * state_dim, st.floats.data(),
+             sizeof(float) * state_dim);
+    }
+  }
+  return 0;
+}
+
 int acgan_parse_clip(const uint8_t* rec, uint64_t len, int n_steps,
                      const char* image_key, uint64_t frame_bytes,
                      uint8_t* frames, float* actions, int action_dim,
