@@ -73,6 +73,19 @@ class ModelConfig:
     # correctness oracle) or "pallas" (fused Pallas TPU kernels).
     backend: str = "xla"
 
+    # GroupNorm BACKWARD engine (independent of `backend`; the forward
+    # always stays on the XLA path, whose conv+GN-stat fusions measure
+    # near-roofline — docs/KERNELS.md r2):
+    #   "ad"     — plain jax autodiff (the r2 default).
+    #   "fused"  — closed-form gradient from saved (mean, rstd) residuals
+    #              and the activation mask, in plain XLA ops (ops/gn.py).
+    #   "pallas" — same math as ONE Pallas program per sample
+    #              (ops/pallas/gn_bwd.py), XLA-"fused" fallback off the
+    #              VMEM envelope.
+    # Equivalence pinned by tests/test_gn_backward.py; perf measured in
+    # BASELINE.md (VERDICT r2 lever 1c).
+    gn_backward: str = "ad"
+
     @property
     def dtype(self):
         return jnp.dtype(self.compute_dtype)
@@ -185,6 +198,16 @@ class TrainConfig:
     # moments must shard like their parameters. Changes the checkpointed
     # optimizer-state layout.
     flatten_optimizer: bool = False
+    # Storage dtype of BOTH Adam moments ("float32" | "bfloat16"). Adam is
+    # pure HBM bandwidth (~0.73 ms of the 2.85 ms headline step,
+    # BASELINE.md anatomy); bf16 moments halve their read+write traffic.
+    # The update math still runs in f32 (moments are upcast in-register);
+    # only the stored EMAs are rounded, so mu loses ~3 decimal digits and
+    # nu updates below ~0.4% of its magnitude quantize away — training
+    # quality must be validated per-model (r3 evidence run in BASELINE.md).
+    # Changes the checkpointed optimizer-state dtypes (resume across a
+    # dtype switch restores into the NEW dtype template).
+    adam_moment_dtype: str = "float32"
 
     # Rollout training (BASELINE.json configs 2, 4, 5): number of
     # autoregressive prediction steps per example. 1 = single-step GAN.

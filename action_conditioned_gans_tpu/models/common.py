@@ -48,6 +48,7 @@ class ConvBlock(nn.Module):
     leak: float = 0.2
     transpose: bool = False
     backend: str = "xla"
+    gn_backward: str = "ad"
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -78,6 +79,7 @@ class ConvBlock(nn.Module):
             leak=self.leak,
             axis_name=self.axis_name,
             backend=self.backend,
+            gn_backward=self.gn_backward,
         )
 
 

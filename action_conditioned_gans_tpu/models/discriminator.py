@@ -63,6 +63,7 @@ class Discriminator(nn.Module):
                 act="lrelu",
                 leak=cfg.leak,
                 backend=cfg.backend,
+                gn_backward=cfg.gn_backward,
                 axis_name=axis_name,
                 name=f"conv_{i}",
             )(x)
@@ -78,6 +79,7 @@ class Discriminator(nn.Module):
                     act="lrelu",
                     leak=cfg.leak,
                     backend=cfg.backend,
+                    gn_backward=cfg.gn_backward,
                     axis_name=axis_name,
                     name=f"conv_{i}_extra_{j}",
                 )(x)

@@ -48,6 +48,7 @@ class Generator(nn.Module):
                 groups=cfg.group_norm_groups,
                 leak=cfg.leak,
                 backend=cfg.backend,
+                gn_backward=cfg.gn_backward,
                 axis_name=axis_name,
             )
             defaults.update(kw)

@@ -78,6 +78,7 @@ def norm_act(
     leak=0.2,
     axis_name=None,
     backend=None,
+    gn_backward="ad",
 ) -> jax.Array:
     if _resolve(backend) == "pallas" and kind == "group" and axis_name is None:
         p = _pallas()
@@ -85,6 +86,21 @@ def norm_act(
             return p.group_norm_act(
                 x, scale, bias, groups=groups, eps=eps, act=act, leak=leak
             )
+    if kind == "group" and gn_backward in ("fused", "pallas"):
+        # XLA forward (bitwise-identical to the composite below), custom
+        # closed-form backward (ModelConfig.gn_backward; VERDICT r2 1c).
+        from action_conditioned_gans_tpu.ops.gn import group_norm_act
+
+        return group_norm_act(
+            x,
+            scale,
+            bias,
+            groups=groups,
+            eps=eps,
+            act=act,
+            leak=leak,
+            backward=gn_backward,
+        )
     return _xla.norm_act(
         x,
         scale,
@@ -113,6 +129,7 @@ def conv_norm_act(
     leak=0.2,
     axis_name=None,
     backend=None,
+    gn_backward="ad",
 ) -> jax.Array:
     """The fused conv(+transpose) -> norm -> activation block — the hot op of
     both models (BASELINE.json: "fused Pallas conv+norm+activation kernels").
@@ -164,4 +181,5 @@ def conv_norm_act(
         leak=leak,
         axis_name=axis_name,
         backend=backend,
+        gn_backward=gn_backward,
     )

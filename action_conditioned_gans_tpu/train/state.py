@@ -31,6 +31,59 @@ class TrainState:
     g_ema: Any = None
 
 
+def scale_by_adam_moment_dtype(
+    b1: float, b2: float, eps: float, moment_dtype
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with BOTH moments stored in ``moment_dtype``.
+
+    Adam's cost on this model is pure HBM traffic (BASELINE.md step
+    anatomy); storing mu/nu in bf16 halves their read+write bytes. The
+    update math is unchanged: moments are upcast to f32 in-register, the
+    EMA update and bias-corrected step are computed in f32, and only the
+    STORED moments are rounded back (optax's stock ``mu_dtype`` covers mu
+    only — nu is the same traffic, so both are converted here).
+    """
+    dtype = jnp.dtype(moment_dtype)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+
+        mu_f = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            updates,
+            state.mu,
+        )
+        nu_f = jax.tree_util.tree_map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            updates,
+            state.nu,
+        )
+        bc1 = 1.0 - b1**count.astype(jnp.float32)
+        bc2 = 1.0 - b2**count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu_f, nu_f
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree_util.tree_map(lambda m: m.astype(dtype), mu_f),
+            nu=jax.tree_util.tree_map(lambda v: v.astype(dtype), nu_f),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
     t = cfg.train
     # optax.flatten turns the ~50 per-tensor Adam fusions into ONE fused
@@ -39,9 +92,18 @@ def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.Gr
     # (parallel/gspmd.py rank-based rule), which a concatenated vector cannot,
     # so TP meshes keep the per-tensor layout.
     flat = t.flatten_optimizer and cfg.mesh.model <= 1
+    moment_dtype = jnp.dtype(t.adam_moment_dtype)
 
     def tx(lr: float) -> optax.GradientTransformation:
-        inner = optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2)
+        if moment_dtype == jnp.float32:
+            inner = optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2)
+        else:
+            inner = optax.chain(
+                scale_by_adam_moment_dtype(
+                    t.adam_b1, t.adam_b2, 1e-8, moment_dtype
+                ),
+                optax.scale(-lr),
+            )
         return optax.flatten(inner) if flat else inner
 
     return tx(t.g_lr), tx(t.d_lr)

@@ -31,6 +31,10 @@ BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 # per-dispatch overhead is fully amortized (r2 sweep: k=16 3.17 ms,
 # k=32 2.99 ms, k=64 2.85 ms/step).
 BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "64"))
+# Space-separated section.field=value config overrides (cli --set syntax),
+# e.g. ACGAN_BENCH_OVERRIDES="model.gn_backward=fused
+# train.adam_moment_dtype=bfloat16" — the r3 perf-lever sweep hook.
+BENCH_OVERRIDES = os.environ.get("ACGAN_BENCH_OVERRIDES", "")
 
 
 def main() -> int:
@@ -47,6 +51,10 @@ def main() -> int:
         ),
         model=dataclasses.replace(cfg.model, backend=BENCH_BACKEND),
     )
+    if BENCH_OVERRIDES:
+        from action_conditioned_gans_tpu.cli import apply_overrides
+
+        cfg = apply_overrides(cfg, BENCH_OVERRIDES.split())
     stats = run_bench(cfg, steps=BENCH_STEPS)
 
     value = stats["frames_per_sec_per_chip"]
@@ -81,6 +89,8 @@ def main() -> int:
         "batch": BENCH_BATCH,
         "device": stats["device"],
     }
+    if BENCH_OVERRIDES:
+        out["overrides"] = BENCH_OVERRIDES
     if "roofline_utilization_analytic" in stats:
         # The honest utilization: analytic MXU FLOPs (transpose convs priced
         # without dilation zeros) / true-barrier latency / hardware peak.

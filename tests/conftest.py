@@ -7,18 +7,28 @@ imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_TPU_PARITY = bool(os.environ.get("ACGAN_PALLAS_TPU_PARITY"))
+if not _TPU_PARITY:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 # Keep CPU test runs deterministic and quiet.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 
 import jax  # noqa: E402
 
-# The env var alone does not win over an auto-registered TPU PJRT plugin
-# (e.g. the axon tunnel); the config knob does.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_PARITY:
+    # Hardware parity mode (ACGAN_PALLAS_TPU_PARITY=1; VERDICT r2 weak 8)
+    # leaves the real TPU platform active so the Pallas kernels go through
+    # the ACTUAL Mosaic lowering instead of interpret mode. Run ONLY the
+    # kernel parity files that way:
+    #   ACGAN_PALLAS_TPU_PARITY=1 python -m pytest \
+    #       tests/test_pallas.py tests/test_gn_backward.py -q
+    # (documented in docs/KERNELS.md). Default: the env var alone does not
+    # win over an auto-registered TPU PJRT plugin (e.g. the axon tunnel);
+    # the config knob does.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
