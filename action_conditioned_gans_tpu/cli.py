@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="acgan", description=__doc__)
     p.add_argument(
         "command",
-        choices=["train", "sample", "eval", "bench", "configs", "make-data"],
+        choices=["train", "sample", "eval", "export", "bench", "configs", "make-data"],
     )
     p.add_argument("--preset", default="config1", help="BASELINE.json preset name")
     p.add_argument("--workdir", default=None)
@@ -124,7 +124,7 @@ def main(argv=None) -> int:
         )
         return 0
 
-    if args.command in ("sample", "eval"):
+    if args.command in ("sample", "eval", "export"):
         import jax
 
         from action_conditioned_gans_tpu.train.sample import evaluate, sample
@@ -157,13 +157,14 @@ def main(argv=None) -> int:
 
                 state = restore_state(cfg, ckpt, template=state)
             print(f"[acgan] loaded checkpoint step {ckpt.latest_step()}")
-        elif args.ema:
+        elif args.ema or args.command == "export":
             # Without a checkpoint the forced ema_decay would seed g_ema
-            # from the INIT params and silently sample untrained weights;
-            # fail like the no-EMA-in-checkpoint case does (ADVICE r2).
+            # from the INIT params and silently sample untrained weights
+            # (ADVICE r2); likewise exporting init weights as a serving
+            # artifact is never what the user meant.
             parser.error(
-                f"--ema needs a checkpoint under {cfg.workdir}/checkpoints "
-                "(none found)"
+                f"{'--ema' if args.ema else 'export'} needs a checkpoint "
+                f"under {cfg.workdir}/checkpoints (none found)"
             )
         else:
             print("[acgan] WARNING: no checkpoint found; sampling from init")
@@ -171,6 +172,16 @@ def main(argv=None) -> int:
             if state.g_ema is None:
                 parser.error("--ema needs a checkpoint trained with train.ema_decay > 0")
             state = state.replace(g_params=state.g_ema)
+        if args.command == "export":
+            # Portable serving artifact: generator weights + embedded
+            # ModelConfig as one .npz (loads with numpy alone via
+            # Predictor.from_npz — no orbax/TF in the serving container).
+            from action_conditioned_gans_tpu.infer import export_generator
+
+            out = args.out or f"{cfg.workdir}/generator.npz"
+            export_generator(cfg, state.g_params, out)
+            print(json.dumps({"exported": out, "ema": bool(args.ema)}))
+            return 0
         if args.command == "sample":
             out = args.out or f"{cfg.workdir}/samples"
             metrics = sample(cfg, state, out, num_clips=args.num_clips)

@@ -25,6 +25,35 @@ from action_conditioned_gans_tpu.models import Generator
 from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
 
 
+def export_generator(cfg: Config, g_params, path: str) -> None:
+    """Write generator weights as a portable .npz archive (pure numpy — no
+    orbax/TF needed to load), with the ModelConfig embedded as JSON so
+    ``Predictor.from_npz`` can reconstruct the architecture standalone.
+
+    The reference's deployment artifact is a TF Saver checkpoint loadable
+    anywhere TF runs (SURVEY.md §4.4); this is the rebuild's dependency-free
+    equivalent for serving containers (pairs with the TF-free native data
+    reader)."""
+    import json
+    import os
+
+    import dataclasses
+
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(jax.device_get(g_params))
+    arrays = {"/".join(k): np.asarray(v) for k, v in flat.items()}
+    if "__model_config__" in arrays:
+        raise ValueError("parameter tree collides with the metadata key")
+    arrays["__model_config__"] = np.asarray(
+        json.dumps(dataclasses.asdict(cfg.model))
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
 class Predictor:
     """Jitted generator inference over restored (or given) parameters."""
 
@@ -120,6 +149,47 @@ class Predictor:
         finally:
             mgr.close()
         return cls(cfg, state.g_ema if use_ema else state.g_params)
+
+    @classmethod
+    def from_npz(cls, path: str, cfg: Optional[Config] = None) -> "Predictor":
+        """Load a predictor from a portable ``export_generator`` archive.
+
+        Needs neither orbax nor the training workdir: the archive embeds the
+        ModelConfig, so a serving container can run on the .npz alone
+        (``cfg=None`` reconstructs it; passing a Config overrides
+        runtime-only fields like compute_dtype/backend but the architecture
+        comes from the archive).
+        """
+        import json
+
+        import dataclasses
+
+        import numpy as np
+        from flax import traverse_util
+
+        from action_conditioned_gans_tpu.config import ModelConfig
+
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["__model_config__"]))
+            flat = {
+                tuple(k.split("/")): jnp.asarray(z[k])
+                for k in z.files
+                if k != "__model_config__"
+            }
+        params = traverse_util.unflatten_dict(flat)
+        model = ModelConfig(**meta)
+        if cfg is None:
+            cfg = Config(model=model)
+        else:
+            arch_fields = {
+                f.name: getattr(model, f.name)
+                for f in dataclasses.fields(ModelConfig)
+                if f.name not in ("compute_dtype", "backend", "gn_backward")
+            }
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, **arch_fields)
+            )
+        return cls(cfg, params)
 
     # -- API ------------------------------------------------------------------
     def predict(self, frame, action, state=None):

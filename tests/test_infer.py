@@ -173,3 +173,72 @@ def test_predictor_use_ema_surfaces_real_restore_error(tmp_path):
     with pytest.raises(Exception) as ei:
         Predictor.from_checkpoint(tiny_config(str(tmp_path)), use_ema=True)
     assert "no EMA weights" not in str(ei.value)
+
+
+def test_export_npz_round_trip(tmp_path):
+    """export_generator -> Predictor.from_npz reproduces from_checkpoint
+    predictions exactly, with the architecture reconstructed from the
+    embedded ModelConfig (no cfg passed)."""
+    from action_conditioned_gans_tpu.infer import export_generator
+
+    cfg = tiny_config(str(tmp_path))
+    state = init_state(cfg, jax.random.PRNGKey(3))
+    path = str(tmp_path / "g.npz")
+    export_generator(cfg, state.g_params, path)
+
+    ref = Predictor(cfg, state.g_params)
+    loaded = Predictor.from_npz(path)
+    assert loaded.cfg.model.image_size == cfg.model.image_size
+    frame = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3), minval=-1, maxval=1)
+    action = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    np.testing.assert_allclose(
+        np.asarray(ref.predict(frame, action)),
+        np.asarray(loaded.predict(frame, action)),
+        atol=1e-6,
+    )
+
+
+def test_cli_export_and_errors(tmp_path, capsys):
+    import json as _json
+
+    import pytest
+
+    from action_conditioned_gans_tpu.cli import main
+    from action_conditioned_gans_tpu.infer import Predictor as P
+
+    overrides = []
+    for o in (
+        "model.image_size=16", "model.g_levels=2", "model.g_base_channels=8",
+        "model.d_levels=2", "model.d_base_channels=8",
+        "model.group_norm_groups=4", "model.compute_dtype=float32",
+        "train.batch_size=2",
+    ):
+        overrides += ["--set", o]
+
+    # No checkpoint -> argparse error, not an init-weights artifact.
+    with pytest.raises(SystemExit) as exc:
+        main(["export", "--preset", "config1", "--workdir", str(tmp_path)] + overrides)
+    assert exc.value.code == 2
+    capsys.readouterr()
+
+    cfg = tiny_config(str(tmp_path))
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(f"{cfg.workdir}/checkpoints")
+    mgr.save(7, jax.device_get(state), force=True)
+    mgr.wait()
+    mgr.close()
+
+    out = str(tmp_path / "exported.npz")
+    assert (
+        main(
+            ["export", "--preset", "config1", "--workdir", str(tmp_path), "--out", out]
+            + overrides
+        )
+        == 0
+    )
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["exported"] == out
+    p = P.from_npz(out)
+    frame = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    action = jnp.ones((1, 4), jnp.float32)
+    assert p.predict(frame, action).shape == frame.shape
