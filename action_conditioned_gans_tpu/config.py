@@ -289,7 +289,10 @@ PRESETS = {
         name="config1",
         model=ModelConfig(image_size=64, action_dim=4, g_levels=3, d_levels=4),
         data=DataConfig(source="synthetic", seq_len=2),
-        train=TrainConfig(batch_size=8, rollout_length=1, steps_per_call=16),
+        # steps_per_call from the r3 batch-8 dispatch sweep (BASELINE.md):
+        # k=16 0.695 ms/step -> k=64 0.529 -> k=128 0.498; 64 takes most of
+        # the amortization win while keeping log/checkpoint granularity.
+        train=TrainConfig(batch_size=8, rollout_length=1, steps_per_call=64),
     ),
     # 2. "64x64 multi-step rollout (T=10) with recurrent action-conditioned
     #    generator, batch 16"

@@ -31,10 +31,14 @@ BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 # per-dispatch overhead is fully amortized (r2 sweep: k=16 3.17 ms,
 # k=32 2.99 ms, k=64 2.85 ms/step).
 BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "64"))
-# Space-separated section.field=value config overrides (cli --set syntax),
-# e.g. ACGAN_BENCH_OVERRIDES="model.gn_backward=fused
-# train.adam_moment_dtype=bfloat16" — the r3 perf-lever sweep hook.
-BENCH_OVERRIDES = os.environ.get("ACGAN_BENCH_OVERRIDES", "")
+# Space-separated section.field=value config overrides (cli --set syntax)
+# — the r3 perf-lever sweep hook. Default: bf16 Adam moments, the one
+# lever that measured a win (+1.2%, BASELINE.md r3 sweep) and passed the
+# 2000-step quality A/B (PSNR 29.7 vs f32's 28.8 — within run variance,
+# no degradation). Recorded in the output's "overrides" field.
+BENCH_OVERRIDES = os.environ.get(
+    "ACGAN_BENCH_OVERRIDES", "train.adam_moment_dtype=bfloat16"
+)
 
 
 def main() -> int:
