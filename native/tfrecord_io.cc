@@ -12,6 +12,22 @@
 //
 // Exposed as a C ABI consumed via ctypes (data/native_tfrecord.py).
 //
+// Performance notes (r3 rewrite; the r2 version measured 122 MB/s vs
+// tf.data's 227 on the host reader bench):
+//   * the reader mmaps the file (records are served zero-copy out of the
+//     page cache; stdio with a 1 MB buffer is the fallback when mmap is
+//     unavailable) and validates record lengths against a file size taken
+//     ONCE at open — the r2 code paid two fseeks per record, which also
+//     defeated stdio readahead;
+//   * CRC32C uses the SSE4.2 hardware instruction when the CPU has it
+//     (runtime-detected) and a slice-by-8 table otherwise — the r2 code was
+//     byte-at-a-time;
+//   * clip parsing walks the Example's feature map ONCE, dispatching each
+//     entry by key — the r2 code re-scanned the whole record for every key
+//     of every timestep (~3·T full scans per clip).
+// Semantics (return codes, first-entry-wins on duplicate keys, error
+// ordering by timestep) are unchanged; the ABI version stays at 2.
+//
 // Build: make -C native   (produces libacgan_tfrecord.so)
 
 #include <cstdint>
@@ -21,31 +37,86 @@
 #include <string>
 #include <vector>
 
+#if defined(__unix__) || defined(__APPLE__)
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#define ACGAN_HAVE_MMAP 1
+#endif
+
 // ---------------------------------------------------------------------------
-// CRC32C (Castagnoli), software table implementation.
+// CRC32C (Castagnoli): SSE4.2 hardware path + slice-by-8 software fallback.
 // ---------------------------------------------------------------------------
 
 namespace {
 
-uint32_t g_crc_table[256];
-bool g_crc_init = false;
+uint32_t g_crc_table[8][256];
 
-void crc_init() {
-  if (g_crc_init) return;
+void crc_table_init() {
   for (uint32_t i = 0; i < 256; i++) {
     uint32_t c = i;
     for (int k = 0; k < 8; k++)
       c = (c & 1) ? (0x82F63B78u ^ (c >> 1)) : (c >> 1);
-    g_crc_table[i] = c;
+    g_crc_table[0][i] = c;
   }
-  g_crc_init = true;
+  for (int s = 1; s < 8; s++)
+    for (uint32_t i = 0; i < 256; i++)
+      g_crc_table[s][i] =
+          (g_crc_table[s - 1][i] >> 8) ^ g_crc_table[0][g_crc_table[s - 1][i] & 0xFF];
 }
 
+// Initialized at dlopen time so no reader/writer call races the table build.
+const bool g_crc_ready = (crc_table_init(), true);
+
+// Slice-by-8 (little-endian hosts — x86-64 and aarch64 TPU VMs both are).
+uint32_t crc32c_sw(const uint8_t* p, size_t n, uint32_t c) {
+  (void)g_crc_ready;
+  while (n >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    v ^= c;
+    c = g_crc_table[7][v & 0xFF] ^ g_crc_table[6][(v >> 8) & 0xFF] ^
+        g_crc_table[5][(v >> 16) & 0xFF] ^ g_crc_table[4][(v >> 24) & 0xFF] ^
+        g_crc_table[3][(v >> 32) & 0xFF] ^ g_crc_table[2][(v >> 40) & 0xFF] ^
+        g_crc_table[1][(v >> 48) & 0xFF] ^ g_crc_table[0][(v >> 56) & 0xFF];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) c = g_crc_table[0][(c ^ *p++) & 0xFF] ^ (c >> 8);
+  return c;
+}
+
+#if defined(__x86_64__)
+__attribute__((target("sse4.2"))) uint32_t crc32c_hw(const uint8_t* p, size_t n,
+                                                     uint32_t c) {
+  uint64_t c64 = c;
+  while (n >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    c64 = __builtin_ia32_crc32di(c64, v);
+    p += 8;
+    n -= 8;
+  }
+  c = (uint32_t)c64;
+  while (n--) c = __builtin_ia32_crc32qi(c, *p++);
+  return c;
+}
+
+bool has_sse42() {
+  static const bool v = __builtin_cpu_supports("sse4.2");
+  return v;
+}
+#endif
+
 uint32_t crc32c(const uint8_t* data, size_t n) {
-  crc_init();
   uint32_t c = 0xFFFFFFFFu;
-  for (size_t i = 0; i < n; i++)
-    c = g_crc_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
+#if defined(__x86_64__)
+  if (has_sse42())
+    c = crc32c_hw(data, n, c);
+  else
+#endif
+    c = crc32c_sw(data, n, c);
   return c ^ 0xFFFFFFFFu;
 }
 
@@ -114,8 +185,8 @@ struct Cursor {
 
 // Extracted feature value (points into the record buffer).
 struct FeatureView {
-  const uint8_t* bytes = nullptr;  // BytesList[0]
-  size_t bytes_len = 0;
+  const uint8_t* bytes = nullptr;  // BytesList: last value wins (matches the
+  size_t bytes_len = 0;            //   r1/r2 parser exactly)
   std::vector<float> floats;       // FloatList
   bool found = false;
 };
@@ -163,7 +234,70 @@ void parse_feature(Cursor c, FeatureView* out) {
   out->found = true;
 }
 
-// Find feature by key inside an Example record.
+// Parse a Feature's FloatList directly into dst (up to `dim` values),
+// returning the TOTAL value count (so callers can enforce >= dim without a
+// heap-allocated vector per feature).
+int parse_floats_into(Cursor c, float* dst, int dim) {
+  int cnt = 0;
+  uint32_t wt;
+  while (uint32_t f = c.tag(&wt)) {
+    if (f == 2 && wt == 2) {
+      Cursor fl = c.sub();
+      uint32_t wt2;
+      while (uint32_t f2 = fl.tag(&wt2)) {
+        if (f2 == 1 && wt2 == 2) {  // packed
+          Cursor pk = fl.sub();
+          while (pk.ok && pk.end - pk.p >= 4) {
+            if (cnt < dim) memcpy(dst + cnt, pk.p, 4);
+            pk.p += 4;
+            cnt++;
+          }
+        } else if (f2 == 1 && wt2 == 5) {  // unpacked
+          if (fl.end - fl.p < 4) return cnt;
+          if (cnt < dim) memcpy(dst + cnt, fl.p, 4);
+          fl.p += 4;
+          cnt++;
+        } else if (!fl.skip(wt2)) {
+          return cnt;
+        }
+      }
+    } else if (!c.skip(wt)) {
+      return cnt;
+    }
+  }
+  return cnt;
+}
+
+// Parse a Feature's BytesList; last value wins (parse_feature semantics).
+bool bytes_from_feature(Cursor c, const uint8_t** out, size_t* out_len) {
+  bool found = false;
+  uint32_t wt;
+  while (uint32_t f = c.tag(&wt)) {
+    if (f == 1 && wt == 2) {
+      Cursor bl = c.sub();
+      uint32_t wt2;
+      while (uint32_t f2 = bl.tag(&wt2)) {
+        if (f2 == 1 && wt2 == 2) {
+          uint64_t n = bl.varint();
+          if (!bl.ok || (uint64_t)(bl.end - bl.p) < n) return found;
+          *out = bl.p;
+          *out_len = n;
+          bl.p += n;
+          found = true;
+        } else if (!bl.skip(wt2)) {
+          return found;
+        }
+      }
+    } else if (!c.skip(wt)) {
+      return found;
+    }
+  }
+  return found;
+}
+
+// Find feature by key inside an Example record (kept for acgan_get_bytes —
+// the per-timestep compressed-frame accessor, where one scan per call is
+// fine because PIL decode dominates that path anyway).
 // Example { Features features = 1; }
 // Features { map<string, Feature> feature = 1; }  (map entry: 1=key, 2=value)
 bool find_feature(const uint8_t* rec, size_t len, const char* key, FeatureView* out) {
@@ -211,6 +345,113 @@ bool find_feature(const uint8_t* rec, size_t len, const char* key, FeatureView* 
   return false;
 }
 
+// Single-pass BAIR-clip parse core: walk the feature map ONCE, dispatching
+// each entry by its "<t>/<suffix>" key. frames == nullptr gives the
+// floats-only variant. Error contract matches the r2 per-key scanner: the
+// FIRST (lowest-t) timestep with a missing/short feature yields -(t+1);
+// duplicate map keys keep the first entry (even if that entry is invalid).
+int parse_clip_onepass(const uint8_t* rec, size_t len, int n_steps,
+                       const char* image_key, uint64_t frame_bytes,
+                       uint8_t* frames, float* actions, int action_dim,
+                       float* states, int state_dim) {
+  if (n_steps <= 0) return 0;
+  const size_t iklen = (frames && image_key) ? strlen(image_key) : 0;
+  // Per-(timestep, kind) first-entry + validity flags.
+  std::vector<uint8_t> seen(3 * (size_t)n_steps, 0), got(3 * (size_t)n_steps, 0);
+  enum { kFrame = 0, kAction = 1, kState = 2 };
+
+  Cursor ex{rec, rec + len};
+  uint32_t wt;
+  while (uint32_t f = ex.tag(&wt)) {
+    if (f == 1 && wt == 2) {
+      Cursor feats = ex.sub();
+      uint32_t wt2;
+      while (uint32_t f2 = feats.tag(&wt2)) {
+        if (f2 == 1 && wt2 == 2) {
+          Cursor entry = feats.sub();
+          const uint8_t* k = nullptr;
+          size_t klen = 0;
+          Cursor val{nullptr, nullptr};
+          bool has_val = false;
+          uint32_t wt3;
+          while (uint32_t f3 = entry.tag(&wt3)) {
+            if (f3 == 1 && wt3 == 2) {
+              uint64_t n = entry.varint();
+              if (!entry.ok || (uint64_t)(entry.end - entry.p) < n) break;
+              k = entry.p;
+              klen = n;
+              entry.p += n;
+            } else if (f3 == 2 && wt3 == 2) {
+              val = entry.sub();
+              has_val = true;
+            } else if (!entry.skip(wt3)) {
+              break;
+            }
+          }
+          if (!k || !has_val) continue;
+          // Key shape: "<decimal t>/<suffix>".
+          size_t i = 0;
+          long t = 0;
+          bool dig = false, big = false;
+          while (i < klen && k[i] >= '0' && k[i] <= '9') {
+            if (!big) {
+              t = t * 10 + (k[i] - '0');
+              if (t >= n_steps) big = true;  // out of range: value irrelevant
+            }
+            dig = true;
+            i++;
+          }
+          if (!dig || big || i >= klen || k[i] != '/') continue;
+          const uint8_t* sfx = k + i + 1;
+          size_t sl = klen - i - 1;
+          int kind = -1;
+          if (sl == 6 && memcmp(sfx, "action", 6) == 0) {
+            kind = kAction;
+          } else if (state_dim > 0 && sl == 15 &&
+                     memcmp(sfx, "endeffector_pos", 15) == 0) {
+            kind = kState;
+          } else if (frames && sl == iklen + 8 &&
+                     memcmp(sfx, image_key, iklen) == 0 &&
+                     memcmp(sfx + iklen, "/encoded", 8) == 0) {
+            kind = kFrame;
+          }
+          if (kind < 0) continue;
+          uint8_t* flag = &seen[(size_t)kind * n_steps + t];
+          if (*flag) continue;  // first map entry wins
+          *flag = 1;
+          uint8_t* gf = &got[(size_t)kind * n_steps + t];
+          if (kind == kFrame) {
+            const uint8_t* b;
+            size_t bl;
+            if (bytes_from_feature(val, &b, &bl) && bl == frame_bytes) {
+              memcpy(frames + (uint64_t)t * frame_bytes, b, frame_bytes);
+              *gf = 1;
+            }
+          } else if (kind == kAction) {
+            *gf = parse_floats_into(val, actions + (uint64_t)t * action_dim,
+                                    action_dim) >= action_dim;
+          } else {
+            *gf = parse_floats_into(val, states + (uint64_t)t * state_dim,
+                                    state_dim) >= state_dim;
+          }
+        } else if (!feats.skip(wt2)) {
+          goto check;
+        }
+      }
+    } else if (!ex.skip(wt)) {
+      break;
+    }
+  }
+check:
+  for (int t = 0; t < n_steps; t++) {
+    if ((frames && !got[(size_t)kFrame * n_steps + t]) ||
+        !got[(size_t)kAction * n_steps + t] ||
+        (state_dim > 0 && !got[(size_t)kState * n_steps + t]))
+      return -(t + 1);
+  }
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -225,41 +466,117 @@ extern "C" {
 // heuristic silently loaded old-semantics code when a rebuild failed).
 //   v2: + acgan_abi_version, acgan_get_bytes, acgan_parse_clip_floats
 //       (variable-length/compressed frame support).
+//   (The r3 mmap/hw-CRC/one-pass rewrite changes no semantics: still v2.)
 int acgan_abi_version() { return 2; }
 
 struct Reader {
-  FILE* f;
+  // mmap path (preferred): records are served zero-copy from the mapping.
+  const uint8_t* map = nullptr;
+  size_t map_len = 0;
+  int fd = -1;
+  // stdio fallback (mmap unavailable/failed).
+  FILE* f = nullptr;
   std::vector<uint8_t> buf;
+  // Shared: next-unread offset and the file size taken ONCE at open (the
+  // reader assumes the file is not growing underneath it — training data is
+  // static; the r2 code re-statted per record, costing two seeks each).
+  size_t pos = 0;
+  size_t file_size = 0;
 };
 
 Reader* acgan_reader_open(const char* path) {
+#ifdef ACGAN_HAVE_MMAP
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  Reader* r = new (std::nothrow) Reader;
+  if (!r) {
+    close(fd);
+    return nullptr;
+  }
+  r->file_size = (size_t)st.st_size;
+  if (st.st_size > 0) {
+    void* m = mmap(nullptr, r->file_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (m != MAP_FAILED) {
+      madvise(m, r->file_size, MADV_SEQUENTIAL);
+      r->map = (const uint8_t*)m;
+      r->map_len = r->file_size;
+      r->fd = fd;
+      return r;
+    }
+  }
+  FILE* f = fdopen(fd, "rb");
+  if (!f) {
+    close(fd);
+    delete r;
+    return nullptr;
+  }
+  setvbuf(f, nullptr, _IOFBF, 1 << 20);
+  r->f = f;
+  return r;
+#else
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
-  return new Reader{f, {}};
+  setvbuf(f, nullptr, _IOFBF, 1 << 20);
+  Reader* r = new (std::nothrow) Reader;
+  if (!r) {
+    fclose(f);
+    return nullptr;
+  }
+  if (fseek(f, 0, SEEK_END) == 0) {
+    long e = ftell(f);
+    r->file_size = e > 0 ? (size_t)e : 0;
+    fseek(f, 0, SEEK_SET);
+  }
+  r->f = f;
+  return r;
+#endif
 }
 
 // Read next record; returns length or 0 on EOF, -1 on corruption.
-// *data points into the reader's internal buffer (valid until next call).
+// *data points into the mmap (or the reader's internal buffer on the stdio
+// fallback) and stays valid until the next call (mmap: until close).
 long acgan_reader_next(Reader* r, const uint8_t** data) {
+  if (r->map) {
+    // Fewer than 12 bytes left (including 0) is EOF, matching the stdio
+    // short-fread semantics the tests pin for truncated files.
+    if (r->file_size - r->pos < 12) return 0;
+    const uint8_t* h = r->map + r->pos;
+    uint64_t len;
+    memcpy(&len, h, 8);
+    uint32_t lcrc;
+    memcpy(&lcrc, h + 8, 4);
+    if (masked_crc(h, 8) != lcrc) return -1;
+    // The length is untrusted even when its CRC checks out (corruption can
+    // produce a self-consistent header): payload + 4-byte data CRC must fit
+    // in the bytes actually remaining.
+    uint64_t remaining = r->file_size - r->pos - 12;
+    if (remaining < 4 || len > remaining - 4) return -1;
+    const uint8_t* payload = h + 12;
+    uint32_t dcrc;
+    memcpy(&dcrc, payload + len, 4);
+    if (masked_crc(payload, len) != dcrc) return -1;
+    r->pos += 12 + len + 4;
+    *data = payload;
+    return (long)len;
+  }
   uint8_t hdr[12];
   if (fread(hdr, 1, 12, r->f) != 12) return 0;  // EOF
+  r->pos += 12;
   uint64_t len;
   memcpy(&len, hdr, 8);
   uint32_t lcrc;
   memcpy(&lcrc, hdr + 8, 4);
   if (masked_crc(hdr, 8) != lcrc) return -1;
-  // The length is untrusted even when its CRC checks out (corruption can
-  // produce a self-consistent header). Cap it against the bytes actually
-  // remaining in the file (payload + 4-byte data CRC must fit) and guard
-  // the allocation: this is a C ABI entry point, so a bad_alloc escaping
-  // here would std::terminate the host process instead of returning the
-  // -1 corruption code (ADVICE r1).
-  long pos = ftell(r->f);
-  if (pos < 0 || fseek(r->f, 0, SEEK_END) != 0) return -1;
-  long file_end = ftell(r->f);
-  if (file_end < 0 || fseek(r->f, pos, SEEK_SET) != 0) return -1;
-  uint64_t remaining = (uint64_t)(file_end - pos);
+  uint64_t remaining = r->file_size > r->pos ? r->file_size - r->pos : 0;
   if (remaining < 4 || len > remaining - 4) return -1;
+  // Guard the allocation: this is a C ABI entry point, so a bad_alloc
+  // escaping here would std::terminate the host process instead of
+  // returning the -1 corruption code (ADVICE r1).
   try {
     r->buf.resize(len);
   } catch (...) {
@@ -268,6 +585,7 @@ long acgan_reader_next(Reader* r, const uint8_t** data) {
   if (fread(r->buf.data(), 1, len, r->f) != len) return -1;
   uint8_t crcbuf[4];
   if (fread(crcbuf, 1, 4, r->f) != 4) return -1;
+  r->pos += len + 4;
   uint32_t dcrc;
   memcpy(&dcrc, crcbuf, 4);
   if (masked_crc(r->buf.data(), len) != dcrc) return -1;
@@ -276,10 +594,15 @@ long acgan_reader_next(Reader* r, const uint8_t** data) {
 }
 
 void acgan_reader_close(Reader* r) {
-  if (r) {
-    fclose(r->f);
-    delete r;
+  if (!r) return;
+#ifdef ACGAN_HAVE_MMAP
+  if (r->map) {
+    munmap((void*)r->map, r->map_len);
+    close(r->fd);
   }
+#endif
+  if (r->f) fclose(r->f);
+  delete r;
 }
 
 struct Writer {
@@ -311,12 +634,6 @@ void acgan_writer_close(Writer* w) {
   }
 }
 
-// Parse one BAIR-schema clip record into preallocated buffers:
-//   frames : n_steps * frame_bytes  raw bytes (copied from BytesList[0])
-//   actions: n_steps * action_dim  f32
-//   states : n_steps * state_dim   f32   (state_dim 0 => skipped)
-// Key layout: "<t>/<image_key>/encoded", "<t>/action", "<t>/endeffector_pos".
-// Returns 0 on success, -(t+1) on the first missing/short timestep t.
 // Zero-copy accessor for one bytes feature (e.g. a compressed frame whose
 // length the fixed-size parse path cannot assume): *out points into the
 // record buffer, valid as long as the buffer is. Returns 0 on success,
@@ -337,55 +654,22 @@ int acgan_get_bytes(const uint8_t* rec, uint64_t len, const char* key,
 int acgan_parse_clip_floats(const uint8_t* rec, uint64_t len, int n_steps,
                             float* actions, int action_dim,
                             float* states, int state_dim) {
-  char key[256];
-  for (int t = 0; t < n_steps; t++) {
-    snprintf(key, sizeof(key), "%d/action", t);
-    FeatureView act;
-    if (!find_feature(rec, len, key, &act) || (int)act.floats.size() < action_dim)
-      return -(t + 1);
-    memcpy(actions + (uint64_t)t * action_dim, act.floats.data(),
-           sizeof(float) * action_dim);
-    if (state_dim > 0) {
-      snprintf(key, sizeof(key), "%d/endeffector_pos", t);
-      FeatureView st;
-      if (!find_feature(rec, len, key, &st) || (int)st.floats.size() < state_dim)
-        return -(t + 1);
-      memcpy(states + (uint64_t)t * state_dim, st.floats.data(),
-             sizeof(float) * state_dim);
-    }
-  }
-  return 0;
+  return parse_clip_onepass(rec, len, n_steps, nullptr, 0, nullptr, actions,
+                            action_dim, states, state_dim);
 }
 
+// Parse one BAIR-schema clip record into preallocated buffers:
+//   frames : n_steps * frame_bytes  raw bytes (copied from the BytesList)
+//   actions: n_steps * action_dim  f32
+//   states : n_steps * state_dim   f32   (state_dim 0 => skipped)
+// Key layout: "<t>/<image_key>/encoded", "<t>/action", "<t>/endeffector_pos".
+// Returns 0 on success, -(t+1) on the first missing/short timestep t.
 int acgan_parse_clip(const uint8_t* rec, uint64_t len, int n_steps,
                      const char* image_key, uint64_t frame_bytes,
                      uint8_t* frames, float* actions, int action_dim,
                      float* states, int state_dim) {
-  char key[256];
-  for (int t = 0; t < n_steps; t++) {
-    snprintf(key, sizeof(key), "%d/%s/encoded", t, image_key);
-    FeatureView img;
-    if (!find_feature(rec, len, key, &img) || img.bytes_len != frame_bytes)
-      return -(t + 1);
-    memcpy(frames + (uint64_t)t * frame_bytes, img.bytes, frame_bytes);
-
-    snprintf(key, sizeof(key), "%d/action", t);
-    FeatureView act;
-    if (!find_feature(rec, len, key, &act) || (int)act.floats.size() < action_dim)
-      return -(t + 1);
-    memcpy(actions + (uint64_t)t * action_dim, act.floats.data(),
-           sizeof(float) * action_dim);
-
-    if (state_dim > 0) {
-      snprintf(key, sizeof(key), "%d/endeffector_pos", t);
-      FeatureView st;
-      if (!find_feature(rec, len, key, &st) || (int)st.floats.size() < state_dim)
-        return -(t + 1);
-      memcpy(states + (uint64_t)t * state_dim, st.floats.data(),
-             sizeof(float) * state_dim);
-    }
-  }
-  return 0;
+  return parse_clip_onepass(rec, len, n_steps, image_key, frame_bytes, frames,
+                            actions, action_dim, states, state_dim);
 }
 
 }  // extern "C"
