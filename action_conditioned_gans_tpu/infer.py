@@ -55,10 +55,40 @@ def export_generator(cfg: Config, g_params, path: str) -> None:
 
 
 class Predictor:
-    """Jitted generator inference over restored (or given) parameters."""
+    """Jitted generator inference over restored (or given) parameters.
 
-    def __init__(self, cfg: Config, g_params):
+    Pass ``mesh`` (or call :meth:`with_mesh`) to serve over multiple chips:
+    the batch axis shards over the mesh's data axis and, when the mesh has a
+    model axis > 1, conv output channels shard over it (the same GSPMD rules
+    as training — ``parallel.gspmd.tp_param_pspec``); XLA inserts the ICI
+    collectives. The reference's inference is single-device ``sess.run``
+    (SURVEY.md §4.2) — multi-chip serving is rebuild-native scaling.
+    """
+
+    def __init__(self, cfg: Config, g_params, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from action_conditioned_gans_tpu.parallel.gspmd import tp_param_pspec
+
+            data_axis, model_axis = mesh.axis_names[0], mesh.axis_names[-1]
+            model_size = mesh.shape[model_axis] if len(mesh.axis_names) > 1 else 1
+            self._data_size = mesh.shape[data_axis]
+
+            def param_sharding(leaf):
+                spec = (
+                    tp_param_pspec(leaf, model_axis, model_size)
+                    if len(getattr(leaf, "shape", ())) > 0
+                    else P()
+                )
+                return NamedSharding(mesh, spec)
+
+            g_params = jax.device_put(
+                g_params, jax.tree_util.tree_map(param_sharding, g_params)
+            )
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
         self.g_params = g_params
         self._gen = Generator(cfg.model)
 
@@ -98,6 +128,7 @@ class Predictor:
         workdir: Optional[str] = None,
         step: Optional[int] = None,
         use_ema: bool = False,
+        mesh=None,
     ) -> "Predictor":
         """Restore generator params from the latest (or given) checkpoint.
 
@@ -148,10 +179,12 @@ class Predictor:
                     ) from e
         finally:
             mgr.close()
-        return cls(cfg, state.g_ema if use_ema else state.g_params)
+        return cls(cfg, state.g_ema if use_ema else state.g_params, mesh=mesh)
 
     @classmethod
-    def from_npz(cls, path: str, cfg: Optional[Config] = None) -> "Predictor":
+    def from_npz(
+        cls, path: str, cfg: Optional[Config] = None, mesh=None
+    ) -> "Predictor":
         """Load a predictor from a portable ``export_generator`` archive.
 
         Needs neither orbax nor the training workdir: the archive embeds the
@@ -189,13 +222,36 @@ class Predictor:
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, **arch_fields)
             )
-        return cls(cfg, params)
+        return cls(cfg, params, mesh=mesh)
+
+    def with_mesh(self, mesh) -> "Predictor":
+        """A copy of this predictor serving over ``mesh`` (see class doc)."""
+        return Predictor(self.cfg, self.g_params, mesh=mesh)
+
+    def _place(self, *arrays):
+        """Shard batch-leading inputs over the data axis (no-op unmeshed)."""
+        if self.mesh is None:
+            return arrays
+        placed = []
+        for a in arrays:
+            if a is None:
+                placed.append(None)
+                continue
+            if a.shape[0] % self._data_size != 0:
+                raise ValueError(
+                    f"batch {a.shape[0]} is not divisible by the mesh data "
+                    f"axis ({self._data_size}); pad or resize the batch"
+                )
+            placed.append(jax.device_put(a, self._batch_sharding))
+        return placed
 
     # -- API ------------------------------------------------------------------
     def predict(self, frame, action, state=None):
         """One next-frame prediction — the reference's generator signature."""
+        frame, action, state = self._place(frame, action, state)
         return self._predict(self.g_params, frame, action, state)
 
     def rollout(self, frame0, actions, states=None):
         """Autoregressive T-step prediction conditioned on an action sequence."""
+        frame0, actions, states = self._place(frame0, actions, states)
         return self._rollout(self.g_params, frame0, actions, states)

@@ -242,3 +242,58 @@ def test_cli_export_and_errors(tmp_path, capsys):
     frame = jnp.zeros((1, 16, 16, 3), jnp.float32)
     action = jnp.ones((1, 4), jnp.float32)
     assert p.predict(frame, action).shape == frame.shape
+
+
+def test_predictor_sharded_serving_matches_single_device(tmp_path):
+    """Mesh-sharded serving (dp8 and dp4xtp2) reproduces the unmeshed
+    predictions; parameters actually shard over the model axis under TP."""
+    from jax.sharding import PartitionSpec as P
+
+    from action_conditioned_gans_tpu.config import MeshConfig
+    from action_conditioned_gans_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config(str(tmp_path))
+    state = init_state(cfg, jax.random.PRNGKey(2))
+    ref = Predictor(cfg, state.g_params)
+    frame = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3), minval=-1, maxval=1)
+    action = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    actions = jax.random.normal(jax.random.PRNGKey(2), (8, 3, 4))
+    want_next = np.asarray(ref.predict(frame, action))
+    want_clip = np.asarray(ref.rollout(frame, actions))
+
+    for data, model in ((8, 1), (4, 2)):
+        mesh = make_mesh(MeshConfig(data=data, model=model))
+        p = ref.with_mesh(mesh)
+        got_next = p.predict(frame, action)
+        # The computation really ran distributed over the whole mesh.
+        assert len(got_next.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got_next), want_next, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(p.rollout(frame, actions)), want_clip, atol=1e-5
+        )
+        if model > 1:
+            specs = {
+                s
+                for s in jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(
+                        lambda x: x.sharding.spec, p.g_params
+                    ),
+                    is_leaf=lambda s: isinstance(s, P),
+                )
+            }
+            assert P(None, None, None, "model") in specs, specs
+
+
+def test_predictor_sharded_batch_divisibility_error(tmp_path):
+    import pytest
+
+    from action_conditioned_gans_tpu.config import MeshConfig
+    from action_conditioned_gans_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config(str(tmp_path))
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    p = Predictor(cfg, state.g_params, mesh=make_mesh(MeshConfig(data=8, model=1)))
+    with pytest.raises(ValueError, match="divisible"):
+        p.predict(
+            jnp.zeros((3, 16, 16, 3), jnp.float32), jnp.ones((3, 4), jnp.float32)
+        )
