@@ -26,11 +26,11 @@ BENCH_STEPS = int(os.environ.get("ACGAN_BENCH_STEPS", "32"))
 # Kernel backend: "xla" or "pallas" (fused Pallas conv/norm kernels).
 BENCH_BACKEND = os.environ.get("ACGAN_BENCH_BACKEND", "xla")
 # Train steps scanned per device dispatch (amortizes per-call runtime
-# overhead; semantics identical to sequential steps). k=64 measures AT the
-# xprof device-time floor (~2.83 ms/step) on the tunneled v5e — the ~6-7 ms
-# per-dispatch overhead is fully amortized (r2 sweep: k=16 3.17 ms,
-# k=32 2.99 ms, k=64 2.85 ms/step).
-BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "64"))
+# overhead; semantics identical to sequential steps). r2 sweep: k=16
+# 3.17 ms, k=32 2.99, k=64 2.85; r3: k=128 2.74 ms/step (46.8k f/s,
+# +2.2% over k=64); k=256 exhausts HBM (the CSE-defeat input bank and
+# per-step metrics stack scale with k) — 128 is the usable optimum.
+BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "128"))
 # Space-separated section.field=value config overrides (cli --set syntax)
 # — the r3 perf-lever sweep hook. Default: bf16 Adam moments, the one
 # lever that measured a win (+1.2%, BASELINE.md r3 sweep) and passed the
