@@ -253,6 +253,12 @@ class TrainConfig:
     # per-dispatch runtime overhead (measured 2.9x throughput at k=4 on the
     # tunneled v5e). log/checkpoint/sample cadences snap to call boundaries.
     steps_per_call: int = 1
+    # Unroll factor for the steps_per_call scan (lax.scan(unroll=N)). >1
+    # duplicates the step body N times per loop iteration, widening XLA's
+    # scheduling window across step boundaries (step i's optimizer update
+    # can overlap step i+1's convs). Semantics identical; compile time and
+    # program size grow with N. steps_per_call must be divisible by it.
+    scan_unroll: int = 1
     # Debug config (SURVEY.md §6): surface NaNs at the op that produced them.
     debug_nans: bool = False
 

@@ -332,7 +332,9 @@ def make_multi_train_step(cfg: Config, axis_name: Optional[str] = None):
             s2, m = step(s, b, rng)
             return s2, m
 
-        state, ms = lax.scan(body, state, batches)
+        state, ms = lax.scan(
+            body, state, batches, unroll=max(cfg.train.scan_unroll, 1)
+        )
         last = jax.tree_util.tree_map(lambda x: x[-1], ms)
         return state, last
 

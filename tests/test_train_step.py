@@ -167,6 +167,34 @@ def test_steps_per_call_equivalence():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_scan_unroll_equivalence():
+    """train.scan_unroll=2 is a pure scheduling hint: bit-identical states
+    and metrics to the rolled scan at the same steps_per_call."""
+    import jax.numpy as jnp
+
+    from action_conditioned_gans_tpu.train.step import make_multi_train_step, stack_batches
+
+    rng = jax.random.PRNGKey(1)
+    cfg_r = tiny_config(steps_per_call=4)
+    cfg_u = tiny_config(steps_per_call=4, scan_unroll=2)
+    batches = [make_batch(cfg_r, seed=i) for i in range(4)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+    outs = []
+    for cfg in (cfg_r, cfg_u):
+        s = init_state(cfg, jax.random.PRNGKey(0))
+        s, m = jax.jit(make_multi_train_step(cfg))(s, stacked, rng)
+        outs.append((s, m))
+    (s_r, m_r), (s_u, m_u) = outs
+    assert int(s_r.step) == int(s_u.step) == 4
+    np.testing.assert_allclose(float(m_r["g_loss"]), float(m_u["g_loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_r.g_params),
+        jax.tree_util.tree_leaves(s_u.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_stack_batches_shape():
     from action_conditioned_gans_tpu.train.step import stack_batches
 
