@@ -141,6 +141,16 @@ class DataConfig:
     crop_random: bool = False
     # Timesteps stored per TFRecord clip (BAIR stores 30).
     clip_len: int = 30
+    # Dtype the FRAME arrays are staged to the device in ("float32" or
+    # "bfloat16"). The models cast inputs to model.compute_dtype at entry
+    # anyway, so "bfloat16" only quantizes the pixels once at the input
+    # boundary (loss targets included) — semantically: feeding
+    # bf16(batch) to the float32 path. It halves the frame HBM footprint
+    # and traffic of the stacked multi-step batch bank (r3 xprof: the
+    # f32 bank's per-step dynamic-slice + one-time normalize pass cost
+    # ~80 us/step at the headline k=128 geometry) and halves host->device
+    # frame transfer for file sources. Actions/states stay float32.
+    device_dtype: str = "float32"
 
 
 # ---------------------------------------------------------------------------

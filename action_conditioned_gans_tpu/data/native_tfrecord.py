@@ -450,6 +450,7 @@ class NativeTFRecordClips:
         repeat: bool = True,
         out_shardings=None,
         start_batch: int = 0,
+        frames_dtype: str = "float32",
     ):
         import glob
 
@@ -493,6 +494,7 @@ class NativeTFRecordClips:
         # with the unshuffled reader given the same seed.
         self._shuffle_rng = np.random.RandomState(seed + 1)
         self._out_shardings = out_shardings
+        self._frames_dtype = frames_dtype
         # Resume fast-forward (VERDICT r2 missing 2): on first use, consume
         # start_batch * batch clips AND replay their window-start rng draws,
         # so the resumed stream (shuffle-buffer state included) is exactly
@@ -588,7 +590,7 @@ class NativeTFRecordClips:
             "actions": np.stack(as_),
             "states": np.stack(ss),
         }
-        return place_batch(out, self._out_shardings)
+        return place_batch(out, self._out_shardings, self._frames_dtype)
 
     def __iter__(self):
         i = 0

@@ -166,6 +166,7 @@ class SyntheticClips:
         seed: int = 0,
         out_shardings=None,
         stack: int = 1,
+        frames_dtype: str = "float32",
     ):
         self.batch = batch
         self.seq_len = seq_len
@@ -189,6 +190,11 @@ class SyntheticClips:
                 out = jax.tree_util.tree_map(
                     lambda x: x.reshape((stack, batch) + x.shape[1:]), out
                 )
+            # Frames staged in data.device_dtype (generation stays f32; the
+            # cast fuses into the generator program). bf16 halves the
+            # stacked bank's HBM footprint + the per-step slice traffic.
+            if frames_dtype != "float32":
+                out["frames"] = out["frames"].astype(jnp.dtype(frames_dtype))
             return out
 
         # out_shardings places each fresh batch directly into its DP layout —

@@ -60,6 +60,7 @@ class TFRecordClips:
         repeat: bool = True,
         out_shardings=None,
         start_batch: int = 0,
+        frames_dtype: str = "float32",
     ):
         if not data_dir:
             raise ValueError("tfrecord source requires data_dir")
@@ -108,6 +109,7 @@ class TFRecordClips:
         # and BEFORE the decode map (skipped records are never parsed).
         self.start_batch = start_batch
         self._out_shardings = out_shardings
+        self._frames_dtype = frames_dtype
         self._it = None
 
     # -- tf.data graph -------------------------------------------------------
@@ -245,7 +247,7 @@ class TFRecordClips:
     def _place(self, np_batch: Dict[str, np.ndarray]):
         from action_conditioned_gans_tpu.data.pipeline import place_batch
 
-        return place_batch(np_batch, self._out_shardings)
+        return place_batch(np_batch, self._out_shardings, self._frames_dtype)
 
     def batch_at(self, index) -> Dict[str, jax.Array]:
         """Stream-ordered: TFRecords are not random-access, so the index is
