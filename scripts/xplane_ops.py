@@ -43,6 +43,9 @@ def _group(tf_op: str) -> str:
 
 
 def summarize(trace_dir: str, top_n: int = 30):
+    """Print both views; returns the gap rows as
+    (us_per_step, tf_s, gb_s, roof_us, x_roof, op_name, tf_op) tuples
+    across all device planes, sorted within each plane."""
     paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
     if not paths:
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
@@ -112,6 +115,7 @@ def summarize(trace_dir: str, top_n: int = 30):
             if not gap_rows:
                 continue
             gap_rows.sort(reverse=True)
+            rows.extend(gap_rows)
             print(f"\n-- roofline-gap view ({k} steps/dispatch assumed) --")
             print(
                 f"{'us/step':>8} {'TF/s':>6} {'GB/s':>6} {'roof_us':>8} "
