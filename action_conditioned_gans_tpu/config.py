@@ -267,7 +267,8 @@ class TrainConfig:
     # duplicates the step body N times per loop iteration, widening XLA's
     # scheduling window across step boundaries (step i's optimizer update
     # can overlap step i+1's convs). Semantics identical; compile time and
-    # program size grow with N. steps_per_call must be divisible by it.
+    # program size grow with N. steps_per_call need not be divisible by it
+    # (lax.scan runs the remainder steps in a partial final iteration).
     scan_unroll: int = 1
     # Debug config (SURVEY.md §6): surface NaNs at the op that produced them.
     debug_nans: bool = False
