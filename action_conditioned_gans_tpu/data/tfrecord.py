@@ -172,22 +172,14 @@ class TFRecordClips:
                 # Crop BEFORE resize (the reference's decode->crop/resize
                 # order), one offset per clip, keyed on the absolute stream
                 # index via the shared stateless hash so the native reader
-                # crops identically (data/cropping.py).
-                import numpy as _np
+                # crops identically (data/cropping.py). Pure-TF uint64 math
+                # keeps the AUTOTUNE map parallel (no numpy_function GIL
+                # round-trip per clip).
+                from action_conditioned_gans_tpu.data.cropping import crop_offsets_tf
 
-                from action_conditioned_gans_tpu.data.cropping import crop_offsets
-
-                offs = tf.numpy_function(
-                    lambda idx: _np.asarray(
-                        crop_offsets(
-                            self.seed, int(idx), raw_hw, crop, self.crop_random
-                        ),
-                        _np.int64,
-                    ),
-                    [index],
-                    tf.int64,
+                offs = crop_offsets_tf(
+                    self.seed, index, raw_hw, crop, self.crop_random
                 )
-                offs = tf.ensure_shape(offs, (2,))
                 frames = tf.slice(
                     frames,
                     tf.stack(

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from action_conditioned_gans_tpu.ops.xla import _apply_act
+
 
 def resolve_groups(channels: int, groups: int) -> int:
     g = min(groups, channels)
@@ -46,24 +48,22 @@ def resolve_groups(channels: int, groups: int) -> int:
     return g
 
 
-def _apply_act(y: jax.Array, act: str, leak: float) -> jax.Array:
-    if act == "lrelu":
-        return jnp.where(y >= 0, y, y * jnp.asarray(leak, y.dtype))
-    if act == "relu":
-        return jnp.maximum(y, jnp.zeros((), y.dtype))
-    if act == "tanh":
-        return jnp.tanh(y)
-    if act == "none":
-        return y
-    raise ValueError(f"unknown activation {act!r}")
-
-
 def act_bwd(g: jax.Array, out: jax.Array, act: str, leak: float) -> jax.Array:
     """Cotangent through the activation, reconstructed from the OUTPUT
     (saved primal) — every supported activation's gradient is recoverable
-    from its output: sign(out) == sign(pre) for (l)relu with leak > 0, and
-    tanh' = 1 - tanh^2."""
+    from its output: sign(out) == sign(pre) for lrelu with leak > 0 (at
+    leak == 0 negatives collapse to out == 0, so the mask must be strict,
+    like relu's), and tanh' = 1 - tanh^2. Negative leak is non-monotone and
+    NOT recoverable from the output — rejected at trace time."""
     if act == "lrelu":
+        if leak < 0:
+            raise ValueError(
+                "saved-output activation backward requires leak >= 0 "
+                "(negative-slope lrelu is not invertible from its output); "
+                "use gn_backward='ad'"
+            )
+        if leak == 0:
+            return jnp.where(out > 0, g, 0.0)
         return jnp.where(out >= 0, g, g * leak)
     if act == "relu":
         return jnp.where(out > 0, g, 0.0)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from action_conditioned_gans_tpu.ops.gn import act_bwd
 from action_conditioned_gans_tpu.ops.pallas.common import VMEM_BUDGET, interpret_mode
 
 
@@ -41,18 +42,6 @@ def gn_bwd_supported(x: jax.Array) -> bool:
         return False
     working = 6 * h * w * c * 4  # x, out, g, dx, two f32 temps
     return 2 * working <= VMEM_BUDGET
-
-
-def _act_bwd_rows(g: jax.Array, out: jax.Array, act: str, leak: float) -> jax.Array:
-    if act == "lrelu":
-        return jnp.where(out >= 0, g, g * leak)
-    if act == "relu":
-        return jnp.where(out > 0, g, 0.0)
-    if act == "tanh":
-        return g * (1.0 - out * out)
-    if act == "none":
-        return g
-    raise ValueError(f"unknown activation {act!r}")
 
 
 def _kernel(
@@ -87,7 +76,7 @@ def _kernel(
     mean_c = jnp.dot(mean_ref[0], mt, preferred_element_type=jnp.float32)  # (1, C)
     rstd_c = jnp.dot(rstd_ref[0], mt, preferred_element_type=jnp.float32)
     xhat = (x - mean_c) * rstd_c
-    dpre = _act_bwd_rows(g, o, act, leak)
+    dpre = act_bwd(g, o, act, leak)
 
     dbias_ref[0] = jnp.sum(dpre, axis=0, keepdims=True)  # (1, C) partial
     dscale_ref[0] = jnp.sum(dpre * xhat, axis=0, keepdims=True)

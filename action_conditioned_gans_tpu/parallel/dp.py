@@ -10,10 +10,8 @@ collectives scheduled on ICI.
 
 from __future__ import annotations
 
-import functools
-
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.5 exports shard_map at top level
     shard_map = jax.shard_map
@@ -21,6 +19,7 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.parallel.mesh import batch_pspec
 from action_conditioned_gans_tpu.train.step import make_multi_train_step
 
 
@@ -40,20 +39,30 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
             f"train.batch_size={cfg.train.batch_size} must be divisible by "
             f"the data mesh axis ({n_data} devices)"
         )
+    for extra in mesh.axis_names[1:]:
+        if mesh.shape[extra] > 1:
+            # shard_map DP only reduces over 'data'; a model axis > 1 would
+            # silently run identical replicas at full cost on every model
+            # shard. TP meshes belong to make_gspmd_train_step.
+            raise ValueError(
+                f"make_dp_train_step got a mesh with {extra}="
+                f"{mesh.shape[extra]} > 1; use make_gspmd_train_step for "
+                "dp x tp meshes"
+            )
     step = make_multi_train_step(cfg, axis_name=data_axis)
-    batch_spec = (
-        P(None, data_axis) if cfg.train.steps_per_call > 1 else P(data_axis)
-    )
+    batch_spec = batch_pspec(mesh, cfg.train.steps_per_call > 1)
 
+    # check_vma verifies the out_specs=P() replication claim (every grad and
+    # metric really was pmean'd) — keep it ON for the default path so a
+    # future un-reduced value fails loudly instead of silently diverging
+    # per shard. pallas_call cannot carry the vma annotation on its
+    # ShapeDtypeStruct outputs, so Pallas-containing configs must opt out.
+    uses_pallas = cfg.model.backend == "pallas" or cfg.model.gn_backward == "pallas"
     sharded = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
-        check_vma=False,
+        check_vma=not uses_pallas,
     )
     return jax.jit(sharded, donate_argnums=(0,))
-
-
-def dp_batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(mesh.axis_names[0]))

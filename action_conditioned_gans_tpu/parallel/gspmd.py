@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from action_conditioned_gans_tpu.config import Config
+from action_conditioned_gans_tpu.parallel.mesh import batch_pspec
 from action_conditioned_gans_tpu.train.state import TrainState
 from action_conditioned_gans_tpu.train.step import make_multi_train_step
 
@@ -61,16 +62,17 @@ def make_gspmd_train_step(cfg: Config, mesh: Mesh, state_example: TrainState):
     and channel collectives over 'model' are both inserted by GSPMD from the
     sharding annotations.
     """
-    data_axis = mesh.axis_names[0]
     step = make_multi_train_step(cfg, axis_name=None)
 
     state_shape = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype), state_example
+        # result_type reads dtype metadata without forcing host numpy leaves
+        # (e.g. a just-restored checkpoint) onto the default device.
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        state_example,
     )
     st_shardings = state_shardings(state_shape, mesh)
     batch_sharding = NamedSharding(
-        mesh,
-        P(None, data_axis) if cfg.train.steps_per_call > 1 else P(data_axis),
+        mesh, batch_pspec(mesh, cfg.train.steps_per_call > 1)
     )
     rng_sharding = NamedSharding(mesh, P())
     metrics_sharding = NamedSharding(mesh, P())

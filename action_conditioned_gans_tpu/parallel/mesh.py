@@ -23,9 +23,16 @@ def make_mesh(cfg: MeshConfig, devices: Optional[Sequence[jax.Device]] = None) -
     explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     model = max(cfg.model, 1)
-    if len(devices) % model:
-        raise ValueError(f"{len(devices)} devices not divisible by model={model}")
-    data = cfg.data if cfg.data != -1 else len(devices) // model
+    if cfg.data == -1:
+        # Divisibility only matters for auto-division; an explicit
+        # data x model grid merely needs enough devices (e.g. 2x3 on 8).
+        if len(devices) % model:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by model={model}"
+            )
+        data = len(devices) // model
+    else:
+        data = cfg.data
     if data * model > len(devices):
         raise ValueError(
             f"mesh {data}x{model} needs {data * model} devices, have {len(devices)}"
@@ -57,21 +64,38 @@ def _arrange(devices, data: int, model: int, explicit: bool) -> np.ndarray:
                     devices=devices,
                 )
             return mesh_utils.create_device_mesh((data, model), devices=devices)
-        except Exception:
-            pass  # unknown topology (virtual/CPU) — enumeration order below
+        except Exception as e:
+            # Expected for virtual/CPU meshes (no physical topology). On
+            # real TPUs a silent fall-through would cost ICI adjacency with
+            # no diagnostic, so say so.
+            if devices and getattr(devices[0], "platform", "") == "tpu":
+                import warnings
+
+                warnings.warn(
+                    f"mesh_utils placement failed on TPU devices ({e}); "
+                    "falling back to enumeration-order layout — TP/DP "
+                    "collectives may cross non-adjacent chips"
+                )
     return np.array(devices[: data * model]).reshape(data, model)
 
 
-def batch_pspec(mesh: Mesh) -> P:
-    """Batches shard their leading (batch) dim over the data axis."""
-    return P(mesh.axis_names[0])
+def batch_pspec(mesh: Mesh, stacked: bool = False) -> P:
+    """PartitionSpec for a clip batch: the batch dim shards over the data
+    axis. ``stacked=True`` for (k, B, ...) multi-step batches
+    (train.steps_per_call > 1) — the leading steps axis stays unsharded.
+    THE single source of the batch layout; the dp/gspmd step builders and
+    train.loop all derive from here (r3 review: three hand-written copies
+    plus a k-unaware helper had already diverged)."""
+    axis = mesh.axis_names[0]
+    return P(None, axis) if stacked else P(axis)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch into its data-parallel device layout."""
-    sharding = NamedSharding(mesh, batch_pspec(mesh))
+def shard_batch(batch, mesh: Mesh, stacked: bool = False):
+    """Place a host batch into its data-parallel device layout (see
+    ``batch_pspec`` for the ``stacked`` contract)."""
+    sharding = NamedSharding(mesh, batch_pspec(mesh, stacked))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

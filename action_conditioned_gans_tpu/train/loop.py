@@ -80,12 +80,9 @@ def build_step_and_state(cfg: Config, mesh=None):
 def batch_shardings(cfg: Config, mesh, with_state: bool = True):
     """NamedSharding pytree for the clip batch: batch dim over 'data' (the
     leading steps_per_call axis, when present, is unsharded)."""
-    spec = (
-        P(None, mesh.axis_names[0])
-        if cfg.train.steps_per_call > 1
-        else P(mesh.axis_names[0])
-    )
-    s = NamedSharding(mesh, spec)
+    from action_conditioned_gans_tpu.parallel.mesh import batch_pspec
+
+    s = NamedSharding(mesh, batch_pspec(mesh, cfg.train.steps_per_call > 1))
     out = {"frames": s, "actions": s}
     if with_state:
         out["states"] = s

@@ -39,6 +39,95 @@ BENCH_SPC = int(os.environ.get("ACGAN_BENCH_SPC", "128"))
 BENCH_OVERRIDES = os.environ.get(
     "ACGAN_BENCH_OVERRIDES", "train.adam_moment_dtype=bfloat16"
 )
+# Watchdogs against the platform's known failure mode (CLAUDE.md rule 5/6:
+# the remote compile helper intermittently wedges and ANY jit then hangs
+# indefinitely, observed >1 h). Better one honest error line than a bench
+# that never returns to the driver. Seconds; 0 disables.
+# The canary probes in SUBPROCESSES (a wedged in-process jax.devices() can
+# never be retried) every CANARY_RETRY seconds until CANARY_BUDGET is
+# spent — wedges recover in ~10-60 min (r3 observed 40+ min), so waiting
+# out a transient one beats zeroing the round's metric.
+CANARY_TIMEOUT = int(os.environ.get("ACGAN_BENCH_CANARY_TIMEOUT", "120"))
+CANARY_RETRY = int(os.environ.get("ACGAN_BENCH_CANARY_RETRY", "60"))
+CANARY_BUDGET = int(os.environ.get("ACGAN_BENCH_CANARY_BUDGET", "3600"))
+TOTAL_TIMEOUT = int(os.environ.get("ACGAN_BENCH_TIMEOUT", "2400"))
+
+
+def _die(stage: str, seconds: int) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_per_chip_fused_GD_step_64px",
+                "value": 0.0,
+                "unit": "frames/sec/chip",
+                "vs_baseline": 0.0,
+                "error": (
+                    f"{stage} exceeded {seconds}s watchdog — the TPU compile "
+                    "helper is likely wedged (known platform failure, "
+                    "CLAUDE.md rule 5); not a measurement. Rerun after the "
+                    "helper recovers."
+                ),
+            }
+        ),
+        flush=True,
+    )
+    os._exit(3)
+
+
+def _watchdog(seconds: int, stage: str):
+    if seconds <= 0:
+        return None
+    import threading
+
+    t = threading.Timer(seconds, _die, args=(stage, seconds))
+    t.daemon = True
+    t.start()
+    return t
+
+
+_CANARY_CODE = (
+    "import jax, jax.numpy as jnp; "
+    "print(float(jax.device_get("
+    "jax.jit(lambda x: (x * 2 + 1).sum())(jnp.ones((128, 128))))))"
+)
+
+
+def _canary() -> None:
+    """Wait out a wedged compile helper instead of hanging forever (or
+    zeroing the metric on a transient wedge): probe with a tiny jit + real
+    value read in a SUBPROCESS (normally seconds), retrying until
+    CANARY_BUDGET is spent. Only after a probe succeeds does this process
+    touch the TPU."""
+    if CANARY_TIMEOUT <= 0:
+        return
+    import subprocess
+    import time
+
+    deadline = time.time() + max(CANARY_BUDGET, CANARY_TIMEOUT)
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", _CANARY_CODE],
+                timeout=CANARY_TIMEOUT,
+                check=True,
+                capture_output=True,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() + CANARY_RETRY >= deadline:
+                _die(
+                    f"tiny-jit canary ({attempt} subprocess probes)",
+                    int(max(CANARY_BUDGET, CANARY_TIMEOUT)),
+                )
+            print(
+                f"[bench] canary probe {attempt} failed/hung; retrying in "
+                f"{CANARY_RETRY}s (compile helper likely wedged)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(CANARY_RETRY)
 
 
 def main() -> int:
@@ -214,6 +303,10 @@ def run_infer() -> int:
 
 
 if __name__ == "__main__":
+    # Canary first (it has its own recovery budget); the total watchdog
+    # covers only the measurement itself.
+    _canary()
+    _watchdog(TOTAL_TIMEOUT, "benchmark run")
     if "--presets" in sys.argv:
         sys.exit(run_presets())
     if "--infer" in sys.argv:

@@ -236,63 +236,74 @@ void parse_feature(Cursor c, FeatureView* out) {
 
 // Parse a Feature's FloatList directly into dst (up to `dim` values),
 // returning the TOTAL value count (so callers can enforce >= dim without a
-// heap-allocated vector per feature).
+// heap-allocated vector per feature). Returns -1 if the Feature message is
+// structurally malformed, even when enough values were decoded before the
+// bad field — matching the r2 parse_feature contract, which only reported
+// found=true after the whole message parsed cleanly.
 int parse_floats_into(Cursor c, float* dst, int dim) {
   int cnt = 0;
   uint32_t wt;
   while (uint32_t f = c.tag(&wt)) {
     if (f == 2 && wt == 2) {
       Cursor fl = c.sub();
+      if (!fl.ok) return -1;
       uint32_t wt2;
       while (uint32_t f2 = fl.tag(&wt2)) {
         if (f2 == 1 && wt2 == 2) {  // packed
           Cursor pk = fl.sub();
+          if (!pk.ok) return -1;
           while (pk.ok && pk.end - pk.p >= 4) {
             if (cnt < dim) memcpy(dst + cnt, pk.p, 4);
             pk.p += 4;
             cnt++;
           }
         } else if (f2 == 1 && wt2 == 5) {  // unpacked
-          if (fl.end - fl.p < 4) return cnt;
+          if (fl.end - fl.p < 4) return -1;
           if (cnt < dim) memcpy(dst + cnt, fl.p, 4);
           fl.p += 4;
           cnt++;
         } else if (!fl.skip(wt2)) {
-          return cnt;
+          return -1;
         }
       }
+      if (!fl.ok) return -1;
     } else if (!c.skip(wt)) {
-      return cnt;
+      return -1;
     }
   }
+  if (!c.ok) return -1;
   return cnt;
 }
 
 // Parse a Feature's BytesList; last value wins (parse_feature semantics).
+// A structurally malformed message returns false even when an earlier value
+// decoded cleanly (the r2 parse_feature set found only after a clean parse).
 bool bytes_from_feature(Cursor c, const uint8_t** out, size_t* out_len) {
   bool found = false;
   uint32_t wt;
   while (uint32_t f = c.tag(&wt)) {
     if (f == 1 && wt == 2) {
       Cursor bl = c.sub();
+      if (!bl.ok) return false;
       uint32_t wt2;
       while (uint32_t f2 = bl.tag(&wt2)) {
         if (f2 == 1 && wt2 == 2) {
           uint64_t n = bl.varint();
-          if (!bl.ok || (uint64_t)(bl.end - bl.p) < n) return found;
+          if (!bl.ok || (uint64_t)(bl.end - bl.p) < n) return false;
           *out = bl.p;
           *out_len = n;
           bl.p += n;
           found = true;
         } else if (!bl.skip(wt2)) {
-          return found;
+          return false;
         }
       }
+      if (!bl.ok) return false;
     } else if (!c.skip(wt)) {
-      return found;
+      return false;
     }
   }
-  return found;
+  return found && c.ok;
 }
 
 // Find feature by key inside an Example record (kept for acgan_get_bytes —
@@ -401,7 +412,11 @@ int parse_clip_onepass(const uint8_t* rec, size_t len, int n_steps,
             dig = true;
             i++;
           }
+          // Only the canonical decimal spelling matches (the r2 scanner
+          // looked up snprintf("%d/...") keys exactly, so "07/action" must
+          // NOT alias t=7).
           if (!dig || big || i >= klen || k[i] != '/') continue;
+          if (i > 1 && k[0] == '0') continue;
           const uint8_t* sfx = k + i + 1;
           size_t sl = klen - i - 1;
           int kind = -1;

@@ -164,3 +164,73 @@ def test_abi_version_exported():
     from action_conditioned_gans_tpu.data.native_tfrecord import _EXPECTED_ABI, _lib_abi
 
     assert _lib_abi(lib) == _EXPECTED_ABI
+
+
+def _png(img):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_native_reader_mixed_encoding_clip(tmp_path):
+    """'auto' must fall back per-record even when frame 0 is raw-length
+    (r3 review: the frame-0-length gate raised on mixed-encoding clips the
+    per-frame PIL path explicitly supports)."""
+    from action_conditioned_gans_tpu.data.native_tfrecord import (
+        _bytes_feature,
+        _float_feature,
+        encode_example,
+    )
+
+    lib = load_library()
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    feats = {
+        "0/image_aux1/encoded": frames[0].tobytes(),  # raw
+        "0/action": [0.0, 1.0, 2.0, 3.0],
+        "0/endeffector_pos": [0.1, 0.2, 0.3],
+        "1/image_aux1/encoded": _png(frames[1]),  # compressed
+        "1/action": [4.0, 5.0, 6.0, 7.0],
+        "1/endeffector_pos": [0.4, 0.5, 0.6],
+    }
+    # encode_example needs explicit Feature bytes only for raw payloads,
+    # which its bytes branch already handles.
+    payload = encode_example(feats)
+    path = str(tmp_path / "mixed.tfrecord")
+    w = lib.acgan_writer_open(path.encode())
+    assert w and lib.acgan_writer_write(w, payload, len(payload)) == 0
+    lib.acgan_writer_close(w)
+
+    (got_f, got_a, _), = list(read_clips(path, 2, 16, 16, encoding="auto"))
+    np.testing.assert_array_equal(got_f, frames)
+    np.testing.assert_allclose(got_a[1], [4.0, 5.0, 6.0, 7.0])
+
+
+@pytest.mark.parametrize("stored_hw", [(24, 12), (12, 24)])
+def test_native_reader_non_square_png_resize(tmp_path, stored_hw):
+    """Non-square stored frames resize on per-axis grids (r3 review: the
+    H-derived column grid crashed taller-than-wide and mis-sampled
+    wider-than-tall frames), matching tf.image.resize."""
+    tf = pytest.importorskip("tensorflow")
+    load_library()
+    rng = np.random.RandomState(4)
+    h, w = stored_hw
+    frames = rng.randint(0, 256, size=(1, 2, h, w, 3), dtype=np.uint8)
+    actions = rng.randn(1, 2, 4).astype(np.float32)
+    states = rng.randn(1, 2, 3).astype(np.float32)
+    write_clips_tfrecord_native(
+        str(tmp_path / "ns.tfrecord"), frames, actions, states, encoding="png"
+    )
+    (got_f, _, _), = list(
+        read_clips(str(tmp_path / "ns.tfrecord"), 2, 16, 16, encoding="image")
+    )
+    want = np.clip(
+        np.round(tf.image.resize(tf.cast(frames[0], tf.float32), (16, 16)).numpy()),
+        0,
+        255,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(got_f, want)

@@ -124,3 +124,22 @@ def test_invalid_crop_rejected(tmp_path):
     _fixture(tmp_path)
     with pytest.raises(ValueError, match="crop"):
         _reader(tmp_path, "tfrecord_native", crop=32)
+
+
+def test_crop_offsets_tf_matches_numpy_hash():
+    """Bit-for-bit equality of the graph-mode splitmix64 with the shared
+    numpy/native hash, across seeds/indices (incl. >2^31 indices) and both
+    crop modes."""
+    tf = pytest.importorskip("tensorflow")
+    from action_conditioned_gans_tpu.data.cropping import crop_offsets, crop_offsets_tf
+
+    for seed in (0, 11, 2**31, 2**63 - 1):
+        for index in (0, 1, 7, 12345, 2**32 + 9):
+            for random in (False, True):
+                want = crop_offsets(seed, index, 64, 48, random)
+                got = tuple(
+                    crop_offsets_tf(
+                        seed, tf.constant(index, tf.int64), 64, 48, random
+                    ).numpy()
+                )
+                assert got == want, (seed, index, random, got, want)

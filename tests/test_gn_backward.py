@@ -223,3 +223,39 @@ def test_train_step_runs_with_bf16_adam_moments():
     p1 = jax.tree_util.tree_leaves(state.g_params)[0]
     assert float(jnp.abs(p1 - p0).max()) > 0  # params actually moved
     assert jax.tree_util.tree_leaves(state.g_params)[0].dtype == jnp.float32
+
+
+@pytest.mark.parametrize("backward", ["fused", "pallas"])
+def test_backward_matches_ad_at_leak_zero(backward):
+    """leak=0 collapses negative pre-activations to out == 0, so the
+    saved-output mask must be STRICT (r3 review: out >= 0 silently passed
+    the full gradient through every negative unit)."""
+    x, scale, bias, ct = _inputs(jnp.float32)
+
+    def ref_fn(x, s, b):
+        return X.norm_act(x, s, b, kind="group", groups=4, act="lrelu", leak=0.0)
+
+    def new_fn(x, s, b):
+        return group_norm_act(
+            x, s, b, groups=4, act="lrelu", leak=0.0, backward=backward
+        )
+
+    _, ref_vjp = jax.vjp(ref_fn, x, scale, bias)
+    _, new_vjp = jax.vjp(new_fn, x, scale, bias)
+    for r, n, name in zip(ref_vjp(ct), new_vjp(ct), ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(n), atol=2e-5, rtol=2e-5, err_msg=name
+        )
+
+
+def test_negative_leak_rejected_by_saved_output_backward():
+    x, scale, bias, ct = _inputs(jnp.float32)
+
+    def new_fn(x, s, b):
+        return group_norm_act(
+            x, s, b, groups=4, act="lrelu", leak=-0.1, backward="fused"
+        )
+
+    with pytest.raises(ValueError, match="leak >= 0"):
+        _, vjp = jax.vjp(new_fn, x, scale, bias)
+        vjp(ct)

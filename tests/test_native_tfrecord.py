@@ -190,3 +190,103 @@ def test_native_clips_batch_contract(tmp_path):
     np.testing.assert_allclose(
         f_full[0, 0], frames[0, 0].astype(np.float32) / 255.0 * 2 - 1, rtol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Wire-level parser-semantics pins (r3 review): the one-pass clip parser must
+# match the r2 exact-key/clean-parse contract exactly.
+# ---------------------------------------------------------------------------
+
+from action_conditioned_gans_tpu.data.native_tfrecord import (  # noqa: E402
+    _bytes_feature,
+    _float_feature,
+    _len_delim,
+    _varint,
+)
+
+
+def _raw_example(entries):
+    """Encode Example{features{map}} from ordered (key, raw Feature bytes)."""
+    blob = b""
+    for key, feat in entries:
+        entry = _len_delim(1, key.encode()) + _len_delim(2, feat)
+        blob += _len_delim(1, entry)
+    return _len_delim(1, blob)
+
+
+def _write_payloads(path, payloads):
+    from action_conditioned_gans_tpu.data.native_tfrecord import load_library
+
+    lib = load_library()
+    w = lib.acgan_writer_open(path.encode())
+    assert w
+    for p in payloads:
+        assert lib.acgan_writer_write(w, p, len(p)) == 0
+    lib.acgan_writer_close(w)
+
+
+def _clip_entries(t_steps=2, hw=4):
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(t_steps, hw, hw, 3), dtype=np.uint8)
+    entries = []
+    for t in range(t_steps):
+        entries.append((f"{t}/image_aux1/encoded", _bytes_feature(frames[t].tobytes())))
+        entries.append((f"{t}/action", _float_feature([float(t), 1.0, 2.0, 3.0])))
+        entries.append((f"{t}/endeffector_pos", _float_feature([0.1, 0.2, 0.3])))
+    return frames, entries
+
+
+def _read(path, t_steps=2, hw=4):
+    return list(read_clips(path, n_steps=t_steps, height=hw, width=hw, encoding="raw"))
+
+
+def test_zero_padded_key_does_not_alias_canonical(tmp_path):
+    # "00/action" is NOT the canonical snprintf("%d/...") spelling: a garbage
+    # entry under it (even map-ordered first) must not shadow "0/action".
+    path = str(tmp_path / "alias.tfrecord")
+    frames, entries = _clip_entries()
+    garbage = ("00/action", _float_feature([99.0, 99.0, 99.0, 99.0]))
+    _write_payloads(path, [_raw_example([garbage] + entries)])
+    (got_f, got_a, _), = _read(path)
+    np.testing.assert_array_equal(got_f, frames)
+    np.testing.assert_allclose(got_a[0], [0.0, 1.0, 2.0, 3.0])
+
+
+def test_only_zero_padded_key_is_missing(tmp_path):
+    # A record carrying ONLY "00/action" lacks timestep 0's action entirely.
+    path = str(tmp_path / "padded_only.tfrecord")
+    _, entries = _clip_entries()
+    entries = [
+        ("00/action" if k == "0/action" else k, v) for k, v in entries
+    ]
+    _write_payloads(path, [_raw_example(entries)])
+    with pytest.raises(ValueError, match="missing timestep 0"):
+        _read(path)
+
+
+def test_malformed_floatlist_tail_rejects_feature(tmp_path):
+    # Enough valid packed floats followed by a truncated field: the r2
+    # parser only accepted cleanly-parsed Feature messages, so this is a
+    # schema error, not a silently-accepted action.
+    path = str(tmp_path / "badtail.tfrecord")
+    _, entries = _clip_entries()
+    bad = _float_feature([9.0, 8.0, 7.0, 6.0]) + _varint((5 << 3) | 2) + _varint(100)
+    entries = [(k, bad if k == "1/action" else v) for k, v in entries]
+    _write_payloads(path, [_raw_example(entries)])
+    with pytest.raises(ValueError, match="missing timestep 1"):
+        _read(path)
+
+
+def test_truncated_second_frame_value_rejects_feature(tmp_path):
+    # BytesList with one valid frame then a truncated second value was an
+    # error in r2 (clean-parse contract); it must not yield the first frame.
+    path = str(tmp_path / "badframe.tfrecord")
+    frames, entries = _clip_entries()
+    bad = _len_delim(
+        1,
+        _len_delim(1, frames[0].tobytes()) + _varint((1 << 3) | 2) + _varint(9999),
+    )
+    entries = [(k, bad if k == "0/image_aux1/encoded" else v) for k, v in entries]
+    _write_payloads(path, [_raw_example(entries)])
+    with pytest.raises(ValueError, match="missing timestep 0"):
+        _read(path)

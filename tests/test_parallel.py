@@ -255,3 +255,24 @@ def test_sync_batchnorm_under_dp():
     _, m_sd = jit_train_step(cfg)(state_sd, batch, rng)
     _, m_dp = make_dp_train_step(cfg, mesh)(state_dp, shard_batch(batch, mesh), rng)
     np.testing.assert_allclose(float(m_sd["g_loss"]), float(m_dp["g_loss"]), rtol=2e-4)
+
+
+def test_make_mesh_explicit_submesh_on_nondivisor():
+    """data x model grids smaller than the device count are legal even when
+    model does not divide the device count (r3 review: 2x3 on 8 devices was
+    rejected by an auto-division-only check)."""
+    from action_conditioned_gans_tpu.config import MeshConfig
+
+    mesh = make_mesh(MeshConfig(data=2, model=3))
+    assert mesh.shape == {"data": 2, "model": 3}
+
+
+def test_dp_step_rejects_model_axis():
+    """shard_map DP on a dp x tp mesh would silently duplicate the full step
+    across the model axis; it must refuse and point at gspmd."""
+    from action_conditioned_gans_tpu.config import MeshConfig
+
+    cfg = tiny_config(batch_size=4)
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    with pytest.raises(ValueError, match="gspmd"):
+        make_dp_train_step(cfg, mesh)

@@ -152,3 +152,39 @@ def test_train_loop_passes_start_call_on_resume(tmp_path, monkeypatch):
     loop_mod.train(cfg, max_steps=4)
     loop_mod.train(cfg, max_steps=8)
     assert calls == [0, 2]  # resumed at step 4 with k=2 -> start_call 2
+
+
+def test_native_fast_forward_skips_without_decoding(tmp_path):
+    """The decode-free skim (r3 review): fast-forwarding over K consumed
+    clips parses only the <= shuffle_buffer clips still occupying the
+    buffer at the resume point, not all K."""
+    from action_conditioned_gans_tpu.data import native_tfrecord as nt
+
+    _write_fixture(tmp_path)
+    calls = {"n": 0}
+    real = nt.parse_clip_record
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    reader = nt.NativeTFRecordClips(
+        data_dir=str(tmp_path),
+        batch=3,
+        seq_len=3,
+        image_size=16,
+        clip_len=6,
+        raw_image_size=16,
+        shuffle_buffer=4,
+        seed=11,
+        start_batch=4,  # 12 clips consumed pre-resume
+    )
+    try:
+        nt.parse_clip_record = counting
+        first = reader.batch_at(0)
+    finally:
+        nt.parse_clip_record = real
+    assert np.asarray(first["frames"]).shape[0] == 3
+    # 4 buffer survivors from the skipped prefix + 3 emitted for this batch
+    # (each emission parses the incoming replacement clip).
+    assert calls["n"] <= 4 + 3, calls["n"]
