@@ -49,7 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="acgan", description=__doc__)
     p.add_argument(
         "command",
-        choices=["train", "sample", "eval", "export", "bench", "configs", "make-data"],
+        choices=[
+            "train",
+            "sample",
+            "eval",
+            "export",
+            "bench",
+            "configs",
+            "make-data",
+            "profile-report",
+        ],
     )
     p.add_argument("--preset", default="config1", help="BASELINE.json preset name")
     p.add_argument("--workdir", default=None)
@@ -72,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="config override, repeatable",
     )
     p.add_argument(
+        "--top",
+        type=int,
+        default=30,
+        help="profile-report: rows to print per view",
+    )
+    p.add_argument(
         "--profile-steps",
         type=int,
         default=0,
@@ -89,6 +104,19 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.command == "profile-report":
+        # Analyze a `train --profile-steps N` trace: per-op roofline-gap
+        # table + per-step group summary (no TPU needed — pure proto parse).
+        from action_conditioned_gans_tpu.utils.xplane import summarize
+
+        trace_dir = args.out or (
+            f"{args.workdir}/profile" if args.workdir else None
+        )
+        if not trace_dir:
+            parser.error("profile-report needs --out <trace_dir> or --workdir")
+        summarize(trace_dir, top_n=args.top)
+        return 0
+
     if args.command == "configs":
         from action_conditioned_gans_tpu.config import PRESETS
 
