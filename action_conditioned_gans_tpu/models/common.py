@@ -49,6 +49,7 @@ class ConvBlock(nn.Module):
     transpose: bool = False
     backend: str = "xla"
     gn_backward: str = "ad"
+    wgrad: str = "xla"
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -80,6 +81,7 @@ class ConvBlock(nn.Module):
             axis_name=self.axis_name,
             backend=self.backend,
             gn_backward=self.gn_backward,
+            wgrad=self.wgrad,
         )
 
 

@@ -64,6 +64,7 @@ class Discriminator(nn.Module):
                 leak=cfg.leak,
                 backend=cfg.backend,
                 gn_backward=cfg.gn_backward,
+                wgrad=cfg.wgrad,
                 axis_name=axis_name,
                 name=f"conv_{i}",
             )(x)
@@ -80,6 +81,7 @@ class Discriminator(nn.Module):
                     leak=cfg.leak,
                     backend=cfg.backend,
                     gn_backward=cfg.gn_backward,
+                    wgrad=cfg.wgrad,
                     axis_name=axis_name,
                     name=f"conv_{i}_extra_{j}",
                 )(x)

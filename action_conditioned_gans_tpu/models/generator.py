@@ -49,6 +49,7 @@ class Generator(nn.Module):
                 leak=cfg.leak,
                 backend=cfg.backend,
                 gn_backward=cfg.gn_backward,
+                wgrad=cfg.wgrad,
                 axis_name=axis_name,
             )
             defaults.update(kw)

@@ -42,9 +42,16 @@ def _pallas():
     return _p
 
 
-def conv2d(x, w, *, stride=1, padding="SAME", backend=None) -> jax.Array:
+def conv2d(x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla") -> jax.Array:
     if _resolve(backend) == "pallas":
         return _pallas().conv2d(x, w, stride=stride, padding=padding)
+    if wgrad == "patches":
+        # Same forward HLO; dW as one im2col matmul (ModelConfig.wgrad).
+        from action_conditioned_gans_tpu.ops.wgrad import conv2d_patches_wgrad
+
+        return conv2d_patches_wgrad(x, w, stride, padding)
+    if wgrad != "xla":
+        raise ValueError(f"unknown wgrad engine {wgrad!r}")
     return _xla.conv2d(x, w, stride=stride, padding=padding)
 
 
@@ -130,6 +137,7 @@ def conv_norm_act(
     axis_name=None,
     backend=None,
     gn_backward="ad",
+    wgrad="xla",
 ) -> jax.Array:
     """The fused conv(+transpose) -> norm -> activation block — the hot op of
     both models (BASELINE.json: "fused Pallas conv+norm+activation kernels").
@@ -167,9 +175,10 @@ def conv_norm_act(
                 leak=leak,
             )
     if transpose:
+        # Transpose-conv wgrad keeps XLA AD (ops/wgrad.py scope note).
         y = conv2d_transpose(x, w, stride=stride, backend=backend)
     else:
-        y = conv2d(x, w, stride=stride, backend=backend)
+        y = conv2d(x, w, stride=stride, backend=backend, wgrad=wgrad)
     return norm_act(
         y,
         scale,

@@ -56,13 +56,18 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     # metric really was pmean'd) — keep it ON for the default path so a
     # future un-reduced value fails loudly instead of silently diverging
     # per shard. pallas_call cannot carry the vma annotation on its
-    # ShapeDtypeStruct outputs, so Pallas-containing configs must opt out.
+    # ShapeDtypeStruct outputs, so Pallas-containing configs must opt out;
+    # likewise wgrad="patches": its custom_vjp cotangents hit a jax vma
+    # bookkeeping gap in scan transposes ("Scan carry input and output got
+    # mismatched varying manual axes", which jax itself says to work around
+    # with check_vma=False).
     uses_pallas = cfg.model.backend == "pallas" or cfg.model.gn_backward == "pallas"
+    uses_custom_vjp = uses_pallas or cfg.model.wgrad == "patches"
     sharded = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
-        check_vma=not uses_pallas,
+        check_vma=not uses_custom_vjp,
     )
     return jax.jit(sharded, donate_argnums=(0,))
