@@ -86,12 +86,14 @@ class ModelConfig:
     # BASELINE.md (VERDICT r2 lever 1c).
     gn_backward: str = "ad"
 
-    # Weight-gradient engine for the NON-transposed convs (independent of
-    # `backend`; forward unchanged):
+    # Weight-gradient engine for the convs (independent of `backend`;
+    # forward unchanged):
     #   "xla"     — XLA AD's conv-shaped wgrad kernels (default).
-    #   "patches" — dW as one im2col matmul over extracted input patches
-    #               (ops/wgrad.py) — targets the wgrad fusions the r3 xprof
-    #               gap hunt measured at 1.4-2.0x their compute roofline.
+    #   "patches" — dW as one im2col matmul over extracted patches
+    #               (ops/wgrad.py; x-side patches for strided convs,
+    #               dy-side for transpose convs) — targets the wgrad
+    #               fusions the r3 xprof gap hunt measured at 1.4-2.0x
+    #               their compute roofline.
     # dx and the forward are bit-identical either way; dw differs only by
     # f32-vs-bf16 accumulation order (tests/test_wgrad.py).
     wgrad: str = "xla"

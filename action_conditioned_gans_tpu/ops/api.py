@@ -55,9 +55,17 @@ def conv2d(x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla") -> jax.
     return _xla.conv2d(x, w, stride=stride, padding=padding)
 
 
-def conv2d_transpose(x, w, *, stride=2, padding="SAME", backend=None) -> jax.Array:
+def conv2d_transpose(x, w, *, stride=2, padding="SAME", backend=None, wgrad="xla") -> jax.Array:
     if _resolve(backend) == "pallas":
         return _pallas().conv2d_transpose(x, w, stride=stride, padding=padding)
+    if wgrad == "patches":
+        from action_conditioned_gans_tpu.ops.wgrad import (
+            conv2d_transpose_patches_wgrad,
+        )
+
+        return conv2d_transpose_patches_wgrad(x, w, stride, padding)
+    if wgrad != "xla":
+        raise ValueError(f"unknown wgrad engine {wgrad!r}")
     return _xla.conv2d_transpose(x, w, stride=stride, padding=padding)
 
 
@@ -175,8 +183,7 @@ def conv_norm_act(
                 leak=leak,
             )
     if transpose:
-        # Transpose-conv wgrad keeps XLA AD (ops/wgrad.py scope note).
-        y = conv2d_transpose(x, w, stride=stride, backend=backend)
+        y = conv2d_transpose(x, w, stride=stride, backend=backend, wgrad=wgrad)
     else:
         y = conv2d(x, w, stride=stride, backend=backend, wgrad=wgrad)
     return norm_act(

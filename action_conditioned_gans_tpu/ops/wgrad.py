@@ -21,9 +21,16 @@ that trading that HBM traffic for well-tiled matmul beats XLA's conv-shaped
 wgrad kernel. Measured win-or-lose on the real chip per the repo's
 perf-lever protocol (BASELINE.md r3/r4 tables).
 
-Scope: the non-transposed conv path only (the discriminator's whole stack
-and the generator encoder — D-bwd is the largest step-anatomy group at
-968/782 us measured/roofline). Transpose-conv wgrad keeps XLA AD.
+Scope: both conv families. The non-transposed path (the discriminator's
+whole stack and the generator encoder — D-bwd is the largest step-anatomy
+group at 968/782 us measured/roofline) extracts patches of X; the
+transposed path (generator decoder) extracts patches of DY instead —
+patches of the s-dilated input would be s^2*kh*kw times the input bytes,
+while dy-side windows keep the blow-up at kh*kw/s^2 of dy. Derivation: the
+forward `lax.conv_transpose(x, w)` equals a stride-1 conv over the
+s-dilated, t-padded x, so dW[kh] = sum_u x[u] * dy[s*u + pa - kh] — a
+stride-s window over dy per input position, with the kernel axis REVERSED
+relative to the window order.
 
 Semantics: identical forward (same XLA conv); dx is the SAME transposed-conv
 HLO that AD emits (derived with ``jax.linear_transpose``, no extra forward
@@ -109,3 +116,77 @@ def _bwd(stride, padding, res, dy):
 
 
 conv2d_patches_wgrad.defvjp(_fwd, _bwd)
+
+
+def _conv_transpose_pads(k: int, s: int, padding: str):
+    """The internal padding ``lax.conv_transpose`` applies to the s-dilated
+    input (mirrors jax's _conv_transpose_padding; stable public behavior
+    pinned by tests/test_wgrad.py forward bit-equality)."""
+    if padding == "SAME":
+        pad_len = k + s - 2
+        pad_a = k - 1 if s > k - 1 else -(-pad_len // 2)  # ceil
+    elif padding == "VALID":
+        pad_len = k + s - 2 + max(k - s, 0)
+        pad_a = k - 1
+    else:
+        raise ValueError(f"unsupported padding {padding!r}")
+    return pad_a, pad_len - pad_a
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_transpose_patches_wgrad(x, w, stride: int = 2, padding: str = "SAME"):
+    """``ops.xla.conv2d_transpose`` with the weight gradient as a dy-side
+    patches matmul (see module docstring)."""
+    return _xla.conv2d_transpose(x, w, stride=stride, padding=padding)
+
+
+def _t_fwd(x, w, stride, padding):
+    return conv2d_transpose_patches_wgrad(x, w, stride, padding), (x, w)
+
+
+def _t_bwd(stride, padding, res, dy):
+    x, w = res
+    kh, kw, cin, cout = w.shape
+    pa_h, _ = _conv_transpose_pads(kh, stride, padding)
+    pa_w, _ = _conv_transpose_pads(kw, stride, padding)
+    # One padding serves both dx and the dy-patches: window u (stride s,
+    # pad lo = k-1-pa) covers dy indices [s*u+pa-k+1, s*u+pa]; hi solves
+    # windows-count == x size per dim (negative hi is legal in lax convs).
+    pads = []
+    for ksz, pa, xs_, ys in zip((kh, kw), (pa_h, pa_w), x.shape[1:3], dy.shape[1:3]):
+        lo = ksz - 1 - pa
+        pads.append((lo, (xs_ - 1) * stride + ksz - lo - ys))
+
+    # dx: the forward is a CORRELATION of the dilated-padded x with w, so
+    # its transpose correlates dy with the spatially-reversed, i/o-swapped
+    # kernel, sampled back at the dilation grid — one stride-s conv.
+    w_rev = w[::-1, ::-1].swapaxes(2, 3)  # (kh, kw, cout, cin)
+    dx = lax.conv_general_dilated(
+        dy,
+        w_rev.astype(dy.dtype),
+        window_strides=(stride, stride),
+        padding=pads,
+        dimension_numbers=lax.conv_dimension_numbers(
+            dy.shape, w_rev.shape, ("NHWC", "HWIO", "NHWC")
+        ),
+    )
+
+    patches = lax.conv_general_dilated_patches(
+        dy,
+        (kh, kw),
+        (stride, stride),
+        pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H, W, cout*kh*kw), feature ordering (cout, j_h, j_w)
+    dw = jnp.einsum(
+        "bijf,bijc->fc",
+        patches,
+        x,
+        preferred_element_type=jnp.float32,
+    )
+    # Window order j ascends dy indices = DESCENDS kernel offsets.
+    dw = dw.reshape(cout, kh, kw, cin)[:, ::-1, ::-1, :].transpose(1, 2, 3, 0)
+    return dx, dw.astype(w.dtype)
+
+
+conv2d_transpose_patches_wgrad.defvjp(_t_fwd, _t_bwd)

@@ -74,6 +74,43 @@ def test_grads_match_ad(stride, k, dtype):
         )
 
 
+@pytest.mark.parametrize("stride,k,padding", [(2, 4, "SAME"), (2, 4, "VALID"), (1, 3, "SAME"), (3, 2, "SAME")])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_transpose_grads_match_ad(stride, k, padding, dtype):
+    from action_conditioned_gans_tpu.ops.wgrad import conv2d_transpose_patches_wgrad
+
+    x, w = _inputs(dtype, k=k)
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.square(X.conv2d_transpose(x, w, stride=stride, padding=padding)))
+
+    def loss_new(x, w):
+        return jnp.sum(jnp.square(conv2d_transpose_patches_wgrad(x, w, stride, padding)))
+
+    y_ref = X.conv2d_transpose(x, w, stride=stride, padding=padding)
+    y_new = conv2d_transpose_patches_wgrad(x, w, stride, padding)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_new))
+
+    (dx_r, dw_r) = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    (dx_n, dw_n) = jax.grad(loss_new, argnums=(0, 1))(x, w)
+    if dtype == jnp.float32:
+        np.testing.assert_allclose(
+            np.asarray(dx_r), np.asarray(dx_n), rtol=2e-5, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dw_r), np.asarray(dw_n), rtol=2e-5, atol=2e-5
+        )
+    else:
+        for r, n in ((dx_r, dx_n), (dw_r, dw_n)):
+            scale = np.abs(np.asarray(r, np.float32)).max()
+            np.testing.assert_allclose(
+                np.asarray(r, np.float32),
+                np.asarray(n, np.float32),
+                atol=0.02 * scale,
+                rtol=0.02,
+            )
+
+
 def test_unknown_wgrad_rejected():
     from action_conditioned_gans_tpu import ops
 
