@@ -80,28 +80,36 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     key = jax.random.PRNGKey(0)
     # D stack at 64 px, d_base_channels 64 cap 512, conditioned input 9ch
-    # (frame pair + tiled action); plus config3's 3x3 stride-1 extras.
+    # (frame pair + tiled action); config3's 3x3 stride-1 extras; and the
+    # G decoder's transpose convs (name, in_hw, cin, cout, k, stride, T?).
     shapes = [
-        ("conv_0", 64, 9, 64, 4, 2),
-        ("conv_1", 32, 64, 128, 4, 2),
-        ("conv_2", 16, 128, 256, 4, 2),
-        ("conv_3", 8, 256, 512, 4, 2),
-        ("extra_3x3", 8, 256, 256, 3, 1),
+        ("conv_0", 64, 9, 64, 4, 2, False),
+        ("conv_1", 32, 64, 128, 4, 2, False),
+        ("conv_2", 16, 128, 256, 4, 2, False),
+        ("conv_3", 8, 256, 512, 4, 2, False),
+        ("extra_3x3", 8, 256, 256, 3, 1, False),
+        ("dec_2^T", 8, 256, 128, 4, 2, True),
+        ("dec_1^T", 16, 128, 64, 4, 2, True),
+        ("dec_0^T", 32, 64, 3, 4, 2, True),
     ]
+    from action_conditioned_gans_tpu.ops.wgrad import conv2d_transpose_patches_wgrad
+
     convs = {
-        "xla": lambda x, w, s: oxla.conv2d(x, w, stride=s),
-        "patches": lambda x, w, s: conv2d_patches_wgrad(x, w, s),
+        (False, "xla"): lambda x, w, s: oxla.conv2d(x, w, stride=s),
+        (False, "patches"): lambda x, w, s: conv2d_patches_wgrad(x, w, s),
+        (True, "xla"): lambda x, w, s: oxla.conv2d_transpose(x, w, stride=s),
+        (True, "patches"): lambda x, w, s: conv2d_transpose_patches_wgrad(x, w, s),
     }
     print(f"batch={batch} iters={ITERS} bank={BANK} (per-iter ms, null-subtracted)")
-    for name, hw, cin, cout, k, s in shapes:
+    for name, hw, cin, cout, k, s, tr in shapes:
         xs = jax.random.normal(key, (BANK, batch, hw, hw, cin), jnp.bfloat16)
         w = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * 0.02
-        out_hw = hw // s
+        out_hw = hw * s if tr else hw // s
         dys = jax.random.normal(key, (BANK, batch, out_hw, out_hw, cout), jnp.float32)
         null_s = time_total(null_scan(), xs, w, dys)
         row = [f"{name:10s}"]
         for eng in ("xla", "patches"):
-            tot = time_total(grad_scan(convs[eng], s), xs, w, dys)
+            tot = time_total(grad_scan(convs[(tr, eng)], s), xs, w, dys)
             row.append(f"{eng}={max(tot - null_s, 0.0) / ITERS * 1e3:7.3f} ms")
         print("  ".join(row))
 
