@@ -39,6 +39,15 @@ straight to float32 (``preferred_element_type``) where AD's wgrad conv
 rounds through the bf16 operand dtype first, so bf16-compute dw is a hair
 MORE precise. Equivalence pinned by tests/test_wgrad.py (exact in f32,
 bf16-rounding tolerance in bf16).
+
+Two bookkeeping caveats: (1) a custom_vjp always emits BOTH cotangents, so
+where AD would skip a dead dx (first layers whose input needs no gradient,
+D's stop-gradiented fake input) the dx conv appears in the jaxpr and is
+removed by XLA's DCE — real execution cost is unchanged, but jaxpr-level
+FLOP counts must take grads wrt both inputs to compare engines (pinned by
+tests). (2) the patches extraction lowers to an identity one-hot-kernel
+grouped conv doing ZERO arithmetic; utils/profiling.py prices it as
+bytes-only so the analytic roofline numerator is invariant across engines.
 """
 
 from __future__ import annotations

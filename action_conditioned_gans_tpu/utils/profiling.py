@@ -93,6 +93,22 @@ def _jaxpr_matmul_cost(jaxpr, mult: float, peak_flops: float, hbm_bw: float):
             dn = eqn.params["dimension_numbers"]
             k_spatial = [rhs[i] for i in dn.rhs_spec[2:]]
             cin_per_group = rhs[dn.rhs_spec[1]]
+            fgc = eqn.params.get("feature_group_count", 1)
+            out_ch = out[dn.out_spec[1]]
+            if (
+                cin_per_group == 1
+                and fgc > 1
+                and out_ch == fgc * _prod(k_spatial)
+            ):
+                # conv_general_dilated_patches' identity one-hot kernel
+                # (wgrad="patches", ops/wgrad.py): pure data extraction —
+                # zero arithmetic, but REAL HBM traffic, so it contributes
+                # bytes-only to the time floor. Counting it as a conv would
+                # inflate the roofline numerator by k^2/cout per layer.
+                # (A depthwise conv would need channel multiplier == k_h*k_w
+                # to alias into this test — none exist in this codebase.)
+                t_min += _eqn_bytes(eqn, mult) / hbm_bw
+                continue
             lhs_dil = eqn.params.get("lhs_dilation") or ()
             macs = _prod(out) * cin_per_group * _prod(k_spatial)
             macs /= max(_prod(lhs_dil), 1.0)

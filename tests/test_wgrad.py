@@ -111,6 +111,44 @@ def test_transpose_grads_match_ad(stride, k, padding, dtype):
             )
 
 
+def test_analytic_flops_invariant_across_wgrad_engines():
+    """The roofline numerator must not change with the wgrad engine: the
+    patches-extraction identity-kernel conv is priced as zero-FLOP data
+    movement (utils/profiling.py), and the dw dot has exactly the wgrad
+    conv's arithmetic. Grads taken wrt BOTH inputs — a custom_vjp always
+    emits dx even when dead (XLA DCEs it; a w-only jaxpr count would
+    differ for that reason alone)."""
+    from action_conditioned_gans_tpu.ops.wgrad import conv2d_transpose_patches_wgrad
+    from action_conditioned_gans_tpu.utils.profiling import analytic_matmul_flops
+
+    x = jnp.zeros((4, 16, 16, 32), jnp.float32)
+
+    def both_grads(f):
+        def g(x, w):
+            dx, dw = jax.grad(lambda x, w: f(x, w).sum(), argnums=(0, 1))(x, w)
+            return jnp.sum(dx) + jnp.sum(dw)
+
+        return g
+
+    w = jnp.zeros((4, 4, 32, 64), jnp.float32)
+    ref = analytic_matmul_flops(
+        both_grads(lambda x, w: X.conv2d(x, w, stride=2)), x, w
+    )
+    new = analytic_matmul_flops(
+        both_grads(lambda x, w: conv2d_patches_wgrad(x, w, 2)), x, w
+    )
+    assert ref == new, (ref, new)
+
+    wt = jnp.zeros((4, 4, 32, 16), jnp.float32)
+    ref = analytic_matmul_flops(
+        both_grads(lambda x, w: X.conv2d_transpose(x, w, stride=2)), x, wt
+    )
+    new = analytic_matmul_flops(
+        both_grads(lambda x, w: conv2d_transpose_patches_wgrad(x, w, 2)), x, wt
+    )
+    assert ref == new, (ref, new)
+
+
 def test_unknown_wgrad_rejected():
     from action_conditioned_gans_tpu import ops
 
