@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="profile-report: rows to print per view",
     )
     p.add_argument(
+        "--json",
+        default=None,
+        help="profile-report: also write the full per-op rows as JSON",
+    )
+    p.add_argument(
         "--profile-steps",
         type=int,
         default=0,
@@ -107,14 +112,42 @@ def main(argv=None) -> int:
     if args.command == "profile-report":
         # Analyze a `train --profile-steps N` trace: per-op roofline-gap
         # table + per-step group summary (no TPU needed — pure proto parse).
-        from action_conditioned_gans_tpu.utils.xplane import summarize
+        from action_conditioned_gans_tpu.utils.xplane import (
+            load_xspace,
+            plane_summaries,
+            print_summary,
+        )
 
         trace_dir = args.out or (
             f"{args.workdir}/profile" if args.workdir else None
         )
         if not trace_dir:
             parser.error("profile-report needs --out <trace_dir> or --workdir")
-        summarize(trace_dir, top_n=args.top)
+        summaries = plane_summaries(load_xspace(trace_dir), top_n=args.top)
+        if not summaries:
+            print(
+                "no '/device:*' plane with an 'XLA Ops' line in this trace — "
+                "capture it on TPU (`acgan train --profile-steps N`)"
+            )
+            return 1
+        for s in summaries:
+            print_summary(s, args.top)
+        if args.json:
+            payload = [
+                {
+                    "plane": s.plane,
+                    "steps_per_dispatch": s.steps_per_dispatch,
+                    "op_sum_us": s.op_sum_us,
+                    "roof_sum_us": s.roof_sum_us,
+                    "group_us": s.group_us,
+                    "group_roof_us": s.group_roof_us,
+                    "rows": [dataclasses.asdict(r) for r in s.rows],
+                }
+                for s in summaries
+            ]
+            with open(args.json, "w") as f:
+                json.dump(payload, f, indent=1)
+            print(f"[acgan] wrote {args.json}")
         return 0
 
     if args.command == "configs":

@@ -136,8 +136,38 @@ def test_cli_profile_report(tmp_path, capsys):
     (d / "host.xplane.pb").write_bytes(_build_xspace().SerializeToString())
     from action_conditioned_gans_tpu import cli
 
+    jpath = tmp_path / "report.json"
     rc = cli.main(
-        ["profile-report", "--workdir", str(tmp_path), "--top", "5"]
+        [
+            "profile-report",
+            "--workdir",
+            str(tmp_path),
+            "--top",
+            "5",
+            "--json",
+            str(jpath),
+        ]
     )
     assert rc == 0
     assert "per-step op-sum: 25.0 us" in capsys.readouterr().out
+    import json
+
+    (plane,) = json.loads(jpath.read_text())
+    assert plane["steps_per_dispatch"] == K
+    np.testing.assert_allclose(plane["op_sum_us"], 25.0, rtol=1e-6)
+    assert {r["name"] for r in plane["rows"]} == {"fusion.conv", "fusion.gn"}
+
+
+def test_cli_profile_report_no_device_plane(tmp_path, capsys):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    xs.planes.add().name = "/host:CPU"
+    d = tmp_path / "profile" / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    (d / "host.xplane.pb").write_bytes(xs.SerializeToString())
+    from action_conditioned_gans_tpu import cli
+
+    rc = cli.main(["profile-report", "--workdir", str(tmp_path)])
+    assert rc == 1
+    assert "capture it on TPU" in capsys.readouterr().out
