@@ -64,7 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", default=None)
     p.add_argument("--steps", type=int, default=None, help="override total steps")
     p.add_argument("--no-resume", action="store_true")
-    p.add_argument("--out", default=None, help="sample/make-data output path")
+    p.add_argument(
+        "--out",
+        default=None,
+        help="sample/make-data/export output path; for profile-report, the "
+        "INPUT trace dir (defaults to <workdir>/profile)",
+    )
     p.add_argument("--num-clips", type=int, default=8)
     p.add_argument(
         "--ema",
@@ -123,7 +128,14 @@ def main(argv=None) -> int:
         )
         if not trace_dir:
             parser.error("profile-report needs --out <trace_dir> or --workdir")
-        summaries = plane_summaries(load_xspace(trace_dir), top_n=args.top)
+        try:
+            xs = load_xspace(trace_dir)
+        except FileNotFoundError as e:
+            parser.error(
+                f"{e} — capture one first with "
+                "`acgan train --profile-steps N --workdir <dir>`"
+            )
+        summaries = plane_summaries(xs, top_n=args.top)
         if not summaries:
             print(
                 "no '/device:*' plane with an 'XLA Ops' line in this trace — "

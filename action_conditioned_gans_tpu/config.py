@@ -98,6 +98,20 @@ class ModelConfig:
     # f32-vs-bf16 accumulation order (tests/test_wgrad.py).
     wgrad: str = "xla"
 
+    def __post_init__(self):
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.gn_backward not in ("ad", "fused", "pallas"):
+            raise ValueError(f"unknown gn_backward engine {self.gn_backward!r}")
+        if self.wgrad not in ("xla", "patches"):
+            raise ValueError(f"unknown wgrad engine {self.wgrad!r}")
+        if self.wgrad == "patches" and self.backend == "pallas":
+            # The pallas conv carries its own custom VJP; accepting both
+            # knobs would silently run pallas and A/B the wrong engine.
+            raise ValueError(
+                "wgrad='patches' is incompatible with backend='pallas'"
+            )
+
     @property
     def dtype(self):
         return jnp.dtype(self.compute_dtype)

@@ -112,6 +112,18 @@ def load_library() -> ctypes.CDLL:
                 f"rebuild (need {_EXPECTED_ABI}); the checked-out "
                 "tfrecord_io.cc does not match this binding"
             )
+    declare_api(lib)
+    _lib = lib
+    return lib
+
+
+def declare_api(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare restype/argtypes for every C ABI entry point on ``lib``.
+
+    The single source of truth for the binding signatures — also applied to
+    alternative builds of the same library (the ASan variant in
+    scripts/fuzz_native.py), so a fuzz run exercises exactly the production
+    call signatures."""
     lib.acgan_reader_open.restype = ctypes.c_void_p
     lib.acgan_reader_open.argtypes = [ctypes.c_char_p]
     lib.acgan_reader_next.restype = ctypes.c_long
@@ -160,7 +172,6 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int,
     ]
-    _lib = lib
     return lib
 
 

@@ -42,7 +42,22 @@ def _pallas():
     return _p
 
 
+def _check_wgrad(wgrad: str, backend: str) -> None:
+    # Validate BEFORE any backend early-return: an invalid engine name must
+    # fail on every path, and pallas+patches is a contradiction (the pallas
+    # conv carries its own custom VJP) that would otherwise silently measure
+    # the wrong engine in an A/B run.
+    if wgrad not in ("xla", "patches"):
+        raise ValueError(f"unknown wgrad engine {wgrad!r}")
+    if wgrad == "patches" and backend == "pallas":
+        raise ValueError(
+            "wgrad='patches' is incompatible with backend='pallas' (the "
+            "pallas conv has its own custom VJP); use model.backend='xla'"
+        )
+
+
 def conv2d(x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla") -> jax.Array:
+    _check_wgrad(wgrad, _resolve(backend))
     if _resolve(backend) == "pallas":
         return _pallas().conv2d(x, w, stride=stride, padding=padding)
     if wgrad == "patches":
@@ -50,12 +65,11 @@ def conv2d(x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla") -> jax.
         from action_conditioned_gans_tpu.ops.wgrad import conv2d_patches_wgrad
 
         return conv2d_patches_wgrad(x, w, stride, padding)
-    if wgrad != "xla":
-        raise ValueError(f"unknown wgrad engine {wgrad!r}")
     return _xla.conv2d(x, w, stride=stride, padding=padding)
 
 
 def conv2d_transpose(x, w, *, stride=2, padding="SAME", backend=None, wgrad="xla") -> jax.Array:
+    _check_wgrad(wgrad, _resolve(backend))
     if _resolve(backend) == "pallas":
         return _pallas().conv2d_transpose(x, w, stride=stride, padding=padding)
     if wgrad == "patches":
@@ -64,8 +78,6 @@ def conv2d_transpose(x, w, *, stride=2, padding="SAME", backend=None, wgrad="xla
         )
 
         return conv2d_transpose_patches_wgrad(x, w, stride, padding)
-    if wgrad != "xla":
-        raise ValueError(f"unknown wgrad engine {wgrad!r}")
     return _xla.conv2d_transpose(x, w, stride=stride, padding=padding)
 
 

@@ -61,6 +61,24 @@ from jax import lax
 from action_conditioned_gans_tpu.ops import xla as _xla
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3), inline=False)
+def _acgan_patches_extract(x, filter_shape, window_strides, padding):
+    """Patch extraction = pure data movement (identity one-hot grouped
+    conv, zero arithmetic). Wrapped in a NAMED jit so the step jaxpr
+    carries a ``pjit`` eqn utils/profiling.py can price bytes-only by name
+    — robust even when ``feature_group_count == 1`` (single-channel x/dy,
+    e.g. ``image_channels=1``), where the structural one-hot-kernel
+    heuristic cannot distinguish it from a real conv. XLA inlines the call
+    during lowering, so fusion/perf are unchanged."""
+    return lax.conv_general_dilated_patches(
+        x,
+        filter_shape,
+        window_strides,
+        padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv2d_patches_wgrad(x, w, stride: int = 1, padding: str = "SAME"):
     """``ops.xla.conv2d`` with the weight gradient computed as an im2col
@@ -105,13 +123,7 @@ def _bwd(stride, padding, res, dy):
     kh, kw, cin, cout = w.shape
     # Feature ordering of conv_general_dilated_patches is (C, kh, kw) with
     # the channel SLOWEST (pinned by tests/test_wgrad.py::test_patch_order).
-    patches = lax.conv_general_dilated_patches(
-        x,
-        (kh, kw),
-        (stride, stride),
-        padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    patches = _acgan_patches_extract(x, (kh, kw), (stride, stride), padding)
     dw = jnp.einsum(
         "bijf,bijo->fo",
         patches,
@@ -180,12 +192,8 @@ def _t_bwd(stride, padding, res, dy):
         ),
     )
 
-    patches = lax.conv_general_dilated_patches(
-        dy,
-        (kh, kw),
-        (stride, stride),
-        pads,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    patches = _acgan_patches_extract(
+        dy, (kh, kw), (stride, stride), tuple(pads)
     )  # (B, H, W, cout*kh*kw), feature ordering (cout, j_h, j_w)
     dw = jnp.einsum(
         "bijf,bijc->fc",

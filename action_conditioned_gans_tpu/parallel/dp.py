@@ -57,12 +57,16 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     # future un-reduced value fails loudly instead of silently diverging
     # per shard. pallas_call cannot carry the vma annotation on its
     # ShapeDtypeStruct outputs, so Pallas-containing configs must opt out;
-    # likewise wgrad="patches": its custom_vjp cotangents hit a jax vma
-    # bookkeeping gap in scan transposes ("Scan carry input and output got
-    # mismatched varying manual axes", which jax itself says to work around
-    # with check_vma=False).
+    # likewise ANY custom_vjp engine (wgrad="patches", gn_backward="fused"):
+    # their cotangents hit a jax vma bookkeeping gap in scan transposes
+    # ("Scan carry input and output got mismatched varying manual axes",
+    # which jax itself says to work around with check_vma=False).
     uses_pallas = cfg.model.backend == "pallas" or cfg.model.gn_backward == "pallas"
-    uses_custom_vjp = uses_pallas or cfg.model.wgrad == "patches"
+    uses_custom_vjp = (
+        uses_pallas
+        or cfg.model.wgrad == "patches"
+        or cfg.model.gn_backward == "fused"
+    )
     sharded = shard_map(
         step,
         mesh=mesh,

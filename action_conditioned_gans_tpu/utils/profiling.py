@@ -86,6 +86,17 @@ def _jaxpr_matmul_cost(jaxpr, mult: float, peak_flops: float, hbm_bw: float):
     t_min = 0.0
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
+        if (
+            prim in ("jit", "pjit")  # primitive renamed pjit->jit in jax 0.9
+            and eqn.params.get("name") == "_acgan_patches_extract"
+        ):
+            # ops/wgrad.py's patch extraction, identified BY NAME: pure data
+            # movement (bytes in = x/dy, bytes out = patches), priced
+            # bytes-only without recursing. This covers the fgc == 1 case
+            # (single-channel operands) the structural heuristic below
+            # cannot, keeping the numerator invariant across wgrad engines.
+            t_min += _eqn_bytes(eqn, mult) / hbm_bw
+            continue
         f = None
         if prim == "conv_general_dilated":
             rhs = eqn.invars[1].aval.shape

@@ -41,8 +41,8 @@ class OpRow:
     us_per_step: float
     tf_s: float  # achieved TFLOP/s per execution
     gb_s: float  # achieved GB/s per execution (all memory spaces)
-    roof_us: float  # compute-roofline time per step (flops / peak)
-    x_roof: float  # measured / roofline per execution (0 when flops == 0)
+    roof_us: float  # compute-roofline time PER STEP (flops/peak x execs/step)
+    x_roof: float  # measured / roofline (per-exec ratio == per-step ratio)
     name: str  # HLO display name
     tf_op: str  # tf_op provenance (trailing 60 chars)
     group: str  # D-bwd | D-fwd | G-bwd | G-fwd | other
@@ -146,7 +146,11 @@ def plane_summaries(xs, top_n: int = 30) -> List[PlaneSummary]:
                 # roofline over-credits copy/elementwise ops; flops/peak is
                 # the honest "individually achievable" floor for MXU ops
                 # and 0 (excluded from ratios) for pure-bandwidth ones.
-                roof = flops / PEAK_FLOPS
+                # roof is normalized PER STEP exactly like us_per_step
+                # (flops is per execution; cnt/k executions per step), so
+                # row roof_us values sum to roof_sum_us and x_roof compares
+                # directly against the us_per_step column.
+                roof = flops / PEAK_FLOPS * (cnt[mid] / k)
                 g = _group(tf_op)
                 rows.append(
                     OpRow(
@@ -154,14 +158,14 @@ def plane_summaries(xs, top_n: int = 30) -> List[PlaneSummary]:
                         tf_s=flops / per_exec / 1e12 if per_exec else 0.0,
                         gb_s=byts / per_exec / 1e9 if per_exec else 0.0,
                         roof_us=roof * 1e6,
-                        x_roof=per_exec / roof if roof else 0.0,
+                        x_roof=per_step / roof if roof else 0.0,
                         name=m.display_name,
                         tf_op=tf_op[-60:],
                         group=g,
                     )
                 )
                 groups[g] += per_step * 1e6
-                groups_roof[g] += roof * 1e6 * (cnt[mid] // k)
+                groups_roof[g] += roof * 1e6
             if not rows:
                 continue
             rows.sort(key=lambda r: r.us_per_step, reverse=True)

@@ -53,29 +53,14 @@ def build():
 
 
 def main():
-    from action_conditioned_gans_tpu.data.native_tfrecord import encode_example
+    from action_conditioned_gans_tpu.data.native_tfrecord import (
+        declare_api,
+        encode_example,
+    )
 
-    lib = ctypes.CDLL(ASAN_SO)
-    lib.acgan_parse_clip.restype = ctypes.c_int
-    lib.acgan_parse_clip_floats.restype = ctypes.c_int
-    lib.acgan_get_bytes.restype = ctypes.c_int
-    lib.acgan_writer_open.restype = ctypes.c_void_p
-    lib.acgan_writer_open.argtypes = [ctypes.c_char_p]
-    lib.acgan_writer_write.restype = ctypes.c_int
-    lib.acgan_writer_write.argtypes = [
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_uint64,
-    ]
-    lib.acgan_writer_close.argtypes = [ctypes.c_void_p]
-    lib.acgan_reader_open.restype = ctypes.c_void_p
-    lib.acgan_reader_open.argtypes = [ctypes.c_char_p]
-    lib.acgan_reader_next.restype = ctypes.c_longlong
-    lib.acgan_reader_next.argtypes = [
-        ctypes.c_void_p,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-    ]
-    lib.acgan_reader_close.argtypes = [ctypes.c_void_p]
+    # The production binding's declarations, applied to the ASan build —
+    # the fuzzer must exercise exactly the call signatures production uses.
+    lib = declare_api(ctypes.CDLL(ASAN_SO))
 
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
@@ -140,8 +125,7 @@ def main():
     fpath = os.path.join(d, "fz.tfrecord")
     w = lib.acgan_writer_open(fpath.encode())
     for _ in range(3):
-        buf = (ctypes.c_uint8 * n).from_buffer_copy(bytes(payload))
-        assert lib.acgan_writer_write(w, buf, n) == 0
+        assert lib.acgan_writer_write(w, bytes(payload), n) == 0
     lib.acgan_writer_close(w)
     with open(fpath, "rb") as f:
         blob = f.read()

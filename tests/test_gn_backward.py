@@ -259,3 +259,58 @@ def test_negative_leak_rejected_by_saved_output_backward():
     with pytest.raises(ValueError, match="leak >= 0"):
         _, vjp = jax.vjp(new_fn, x, scale, bias)
         vjp(ct)
+
+
+def test_dp_step_with_fused_gn_backward():
+    """gn_backward='fused' composes with shard_map DP + the scheduled-
+    sampling scan: its custom_vjp hits the same scan-transpose vma
+    bookkeeping gap as wgrad='patches', so make_dp_train_step must include
+    it in the check_vma opt-out (regression: this crashed with 'Scan carry
+    input and output got mismatched varying manual axes')."""
+    from action_conditioned_gans_tpu.config import (
+        Config,
+        DataConfig,
+        MeshConfig,
+        ModelConfig,
+        TrainConfig,
+    )
+    from action_conditioned_gans_tpu.data import generate_clips
+    from action_conditioned_gans_tpu.parallel import (
+        make_dp_train_step,
+        make_mesh,
+        shard_batch,
+    )
+    from action_conditioned_gans_tpu.train.state import init_state
+
+    def run(gn):
+        cfg = Config(
+            name="t",
+            model=ModelConfig(
+                image_size=16,
+                g_levels=2,
+                g_base_channels=8,
+                d_levels=2,
+                d_base_channels=8,
+                group_norm_groups=4,
+                compute_dtype="float32",
+                gn_backward=gn,
+            ),
+            data=DataConfig(seq_len=3),
+            train=TrainConfig(
+                batch_size=8,
+                rollout_length=2,
+                scheduled_sampling=True,
+                remat_rollout=True,
+            ),
+            mesh=MeshConfig(data=8, model=1),
+        )
+        mesh = make_mesh(cfg.mesh)
+        state = init_state(cfg, jax.random.PRNGKey(0))
+        batch = generate_clips(jax.random.PRNGKey(1), 8, 3, 16, 4)
+        step = make_dp_train_step(cfg, mesh)
+        _, m = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(2))
+        return {k: float(v) for k, v in m.items()}
+
+    a, b = run("fused"), run("ad")
+    for key in ("g_loss", "d_loss", "g_recon"):
+        np.testing.assert_allclose(a[key], b[key], rtol=1e-5, err_msg=key)

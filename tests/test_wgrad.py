@@ -149,18 +149,76 @@ def test_analytic_flops_invariant_across_wgrad_engines():
     assert ref == new, (ref, new)
 
 
+def test_analytic_flops_invariant_single_channel():
+    """The fgc == 1 corner (single-channel x / dy, e.g. image_channels=1):
+    the one-hot structural heuristic cannot fire there, so invariance rests
+    on the NAMED jit wrapper around the patch extraction (ops/wgrad.py
+    _acgan_patches_extract, priced bytes-only by utils/profiling.py)."""
+    from action_conditioned_gans_tpu.ops.wgrad import conv2d_transpose_patches_wgrad
+    from action_conditioned_gans_tpu.utils.profiling import analytic_matmul_flops
+
+    def both_grads(f):
+        def g(x, w):
+            dx, dw = jax.grad(lambda x, w: f(x, w).sum(), argnums=(0, 1))(x, w)
+            return jnp.sum(dx) + jnp.sum(dw)
+
+        return g
+
+    x = jnp.zeros((2, 16, 16, 1), jnp.float32)  # cin=1 -> patches fgc=1
+    w = jnp.zeros((4, 4, 1, 8), jnp.float32)
+    ref = analytic_matmul_flops(
+        both_grads(lambda x, w: X.conv2d(x, w, stride=2)), x, w
+    )
+    new = analytic_matmul_flops(
+        both_grads(lambda x, w: conv2d_patches_wgrad(x, w, 2)), x, w
+    )
+    assert ref == new, (ref, new)
+
+    xt = jnp.zeros((2, 8, 8, 4), jnp.float32)
+    wt = jnp.zeros((4, 4, 4, 1), jnp.float32)  # cout=1 -> dy-patches fgc=1
+    ref = analytic_matmul_flops(
+        both_grads(lambda x, w: X.conv2d_transpose(x, w, stride=2)), xt, wt
+    )
+    new = analytic_matmul_flops(
+        both_grads(lambda x, w: conv2d_transpose_patches_wgrad(x, w, 2)), xt, wt
+    )
+    assert ref == new, (ref, new)
+
+
 def test_unknown_wgrad_rejected():
     from action_conditioned_gans_tpu import ops
 
     x, w = _inputs(jnp.float32)
     with pytest.raises(ValueError, match="wgrad"):
         ops.conv2d(x, w, stride=2, wgrad="bogus")
+    # The validation must run on EVERY backend path, not just xla.
+    with pytest.raises(ValueError, match="wgrad"):
+        ops.conv2d(x, w, stride=2, backend="pallas", wgrad="bogus")
+    with pytest.raises(ValueError, match="wgrad"):
+        ops.conv2d_transpose(x, w, stride=2, backend="pallas", wgrad="bogus")
+
+
+def test_pallas_plus_patches_rejected():
+    """backend='pallas' + wgrad='patches' is contradictory (the pallas conv
+    has its own custom VJP) — rejected at both the op and the config layer
+    so an A/B run can never silently measure the wrong engine."""
+    from action_conditioned_gans_tpu import ops
+    from action_conditioned_gans_tpu.config import ModelConfig
+
+    x, w = _inputs(jnp.float32)
+    with pytest.raises(ValueError, match="incompatible"):
+        ops.conv2d(x, w, stride=2, backend="pallas", wgrad="patches")
+    with pytest.raises(ValueError, match="incompatible"):
+        ops.conv2d_transpose(x, w, stride=2, backend="pallas", wgrad="patches")
+    with pytest.raises(ValueError, match="incompatible"):
+        ModelConfig(backend="pallas", wgrad="patches")
+    with pytest.raises(ValueError, match="wgrad"):
+        ModelConfig(wgrad="bogus")
 
 
 def test_train_step_with_patches_wgrad():
     """One fused G+D step with wgrad='patches' stays numerically on top of
     the default path (same rng, same batch)."""
-    import dataclasses
 
     from action_conditioned_gans_tpu.config import (
         Config,
@@ -209,7 +267,6 @@ def test_dp_step_with_patches_wgrad():
     + remat) — requires the check_vma opt-out in make_dp_train_step (jax's
     scan-transpose vma bookkeeping rejects custom_vjp cotangents) — and
     matches the default wgrad on the same sharded batch."""
-    import dataclasses
 
     from action_conditioned_gans_tpu.config import (
         Config,

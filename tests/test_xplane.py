@@ -117,6 +117,54 @@ def conv_tf_s():
     return int(10e-6 * PEAK_FLOPS) / 20e-6 / 1e12
 
 
+def test_multi_exec_per_step_roofline_consistent():
+    """An op executing MORE than k times (e.g. 2 executions per step body)
+    must have roof_us normalized per STEP exactly like us_per_step, so the
+    per-row values sum to roof_sum_us and x_roof compares against the
+    us_per_step column (r3b review finding)."""
+    xs = _build_xspace()
+    plane = xs.planes[0]
+    # op 5: same conv flops, but 2*K executions at 20 us each.
+    em = plane.event_metadata[5]
+    em.id = 5
+    em.name = "fusion.conv2x"
+    em.display_name = "fusion.conv2x"
+    s = em.stats.add()
+    s.metadata_id = 1  # flops
+    s.int64_value = int(10e-6 * PEAK_FLOPS)
+    s = em.stats.add()
+    s.metadata_id = 3  # tf_op
+    s.str_value = "jvp(Generator)/conv_twice"
+    s = em.stats.add()
+    s.metadata_id = 4  # hlo_category
+    s.str_value = "convolution"
+    line = plane.lines[0]
+    for _ in range(2 * K):
+        ev = line.events.add()
+        ev.metadata_id = 5
+        ev.duration_ps = 20_000_000
+    (summary,) = plane_summaries(xs)
+    row = {r.name: r for r in summary.rows}["fusion.conv2x"]
+    np.testing.assert_allclose(row.us_per_step, 40.0, rtol=1e-6)  # 2 x 20 us
+    np.testing.assert_allclose(row.roof_us, 20.0, rtol=1e-6)  # 2 x 10 us
+    np.testing.assert_allclose(row.x_roof, 2.0, rtol=1e-6)
+    # invariant: per-row roof sums == the group roof sums.
+    np.testing.assert_allclose(
+        sum(r.roof_us for r in summary.rows), summary.roof_sum_us, rtol=1e-9
+    )
+
+
+def test_cli_profile_report_missing_trace(tmp_path, capsys):
+    """A missing/empty trace dir exits via parser.error with a hint, not a
+    raw FileNotFoundError traceback."""
+    from action_conditioned_gans_tpu import cli
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["profile-report", "--workdir", str(tmp_path / "nowhere")])
+    assert exc.value.code == 2
+    assert "--profile-steps" in capsys.readouterr().err
+
+
 def test_summarize_end_to_end(tmp_path, capsys):
     d = tmp_path / "trace" / "plugins" / "profile" / "run1"
     d.mkdir(parents=True)
