@@ -167,6 +167,15 @@ class DataConfig:
     crop_random: bool = False
     # Timesteps stored per TFRecord clip (BAIR stores 30).
     clip_len: int = 30
+    # Parallel clip decode for source="tfrecord_native": number of worker
+    # threads parsing/decoding clips concurrently (the C parser and PIL
+    # release the GIL). 0/1 = serial. Results are reassembled in exact
+    # stream order, so batches are byte-identical to the serial reader —
+    # shuffle, crop, and resume fast-forward semantics included. tf.data
+    # has its own threadpool; this is the native reader's equivalent for
+    # hosts where one decode core cannot feed the chips (BASELINE.md host
+    # reader table).
+    decode_threads: int = 0
     # Dtype the FRAME arrays are staged to the device in ("float32" or
     # "bfloat16"). The models cast inputs to model.compute_dtype at entry
     # anyway, so "bfloat16" only quantizes the pixels once at the input

@@ -522,6 +522,12 @@ class NativeTFRecordClips:
         out_shardings=None,
         start_batch: int = 0,
         frames_dtype: str = "float32",
+        # Parallel clip decode: worker threads running the C parse (+ PIL
+        # for compressed frames) concurrently — both release the GIL.
+        # Results are yielded in exact stream order (bounded-lookahead
+        # ordered map), so every batch is byte-identical to the serial
+        # reader. 0/1 = serial.
+        decode_threads: int = 0,
     ):
         import glob
 
@@ -571,6 +577,7 @@ class NativeTFRecordClips:
         # so the resumed stream (shuffle-buffer state included) is exactly
         # the uninterrupted stream at that position.
         self.start_batch = start_batch
+        self.decode_threads = decode_threads
         # Absolute stream position of the next clip (keys the stateless
         # per-clip crop offsets; advanced by the fast-forward skip too).
         self._clip_index = 0
@@ -628,8 +635,7 @@ class NativeTFRecordClips:
         if self.shuffle_buffer <= 1:
             for _ in range(skip):
                 self._next_raw(raw)  # framing walk only — no parse
-            for path, data, n in raw:
-                yield self._parse(path, data, n)
+            yield from self._parse_stream(raw)
             return
         buf = []
         if skip:
@@ -652,17 +658,46 @@ class NativeTFRecordClips:
                 if p in survivors:
                     parsed[p] = self._parse(path, data, n)
             buf = [parsed[p] for p in buf_pos]
-        for path, data, n in raw:
+        for item in self._parse_stream(raw):
             if len(buf) < self.shuffle_buffer:
-                buf.append(self._parse(path, data, n))
+                buf.append(item)
                 continue
             j = self._shuffle_rng.randint(len(buf))
             out = buf[j]
-            buf[j] = self._parse(path, data, n)
+            buf[j] = item
             yield out
         while buf:  # repeat=False: drain, still shuffled
             j = self._shuffle_rng.randint(len(buf))
             yield buf.pop(j)
+
+    def _parse_stream(self, raw):
+        """Parsed clips in exact raw-stream order. With decode_threads > 1,
+        an ordered parallel map: each record's bytes are copied out of the
+        reader's mmap window (whose pointer is only valid until the next
+        framing step) and parsed on a worker pool with bounded lookahead;
+        results are yielded strictly in submission order, so the stream —
+        and everything keyed on it (shuffle draws, window rng, crop
+        indices, resume) — is byte-identical to the serial reader. The C
+        parser is stateless over (data, len) and ctypes/PIL release the
+        GIL, so workers genuinely overlap."""
+        if self.decode_threads <= 1:
+            for path, data, n in raw:
+                yield self._parse(path, data, n)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        lookahead = 2 * self.decode_threads
+        with ThreadPoolExecutor(self.decode_threads) as pool:
+            pending = collections.deque()
+            for path, data, n in raw:
+                src = ctypes.cast(data, ctypes.POINTER(ctypes.c_uint8 * n))
+                buf = (ctypes.c_uint8 * n).from_buffer_copy(src.contents)
+                pending.append(pool.submit(self._parse, path, buf, n))
+                if len(pending) >= lookahead:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
     def _resize(self, frames_f: np.ndarray) -> np.ndarray:
         """tf.image.resize-matching bilinear host resize (module-level

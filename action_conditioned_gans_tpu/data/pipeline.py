@@ -291,5 +291,6 @@ def make_dataset(
             out_shardings=None if stack > 1 else out_shardings,
             start_batch=start_call * stack,
             frames_dtype=d.device_dtype,
+            decode_threads=d.decode_threads,
         ), stack, out_shardings)
     raise ValueError(f"unknown data source {d.source!r}")

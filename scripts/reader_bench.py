@@ -61,12 +61,17 @@ def main() -> int:
             train=TrainConfig(batch_size=8),
         )
 
-        def measure(source: str):
+        def measure(source: str, decode_threads: int = 0):
             import dataclasses
 
             from action_conditioned_gans_tpu.data import make_dataset
 
-            c = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, source=source))
+            c = dataclasses.replace(
+                cfg,
+                data=dataclasses.replace(
+                    cfg.data, source=source, decode_threads=decode_threads
+                ),
+            )
             ds = make_dataset(c)
             n_batches = NUM_CLIPS // cfg.train.batch_size
             if n_batches < 2:
@@ -91,6 +96,11 @@ def main() -> int:
             }
 
         out["native_cc"] = measure("tfrecord_native")
+        # Parallel decode (DataConfig.decode_threads): on a multi-core host
+        # the C parse + PIL run concurrently; on this 1-core container it
+        # only shows the ordered-map overhead is small.
+        threads = max(2, os.cpu_count() or 2)
+        out[f"native_cc_threads{threads}"] = measure("tfrecord_native", threads)
         try:
             out["tf_data"] = measure("tfrecord")
         except Exception as e:

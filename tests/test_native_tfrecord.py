@@ -290,3 +290,49 @@ def test_truncated_second_frame_value_rejects_feature(tmp_path):
     _write_payloads(path, [_raw_example(entries)])
     with pytest.raises(ValueError, match="missing timestep 0"):
         _read(path)
+
+
+@pytest.mark.parametrize("encoding", ["raw", "png"])
+def test_parallel_decode_matches_serial(tmp_path, encoding):
+    """decode_threads > 1 must yield byte-identical batches to the serial
+    reader — ordered reassembly keeps the stream (and the shuffle draws,
+    window rng, crop indices, and resume fast-forward keyed on it) exact.
+    Covered for both the fast C parse (raw) and the PIL fallback (png)."""
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(n=12, t=6, hw=16, seed=7)
+    write_clips_tfrecord_native(path, frames, actions, states, encoding=encoding)
+
+    def make(threads, start_batch=0):
+        return NativeTFRecordClips(
+            data_dir=str(tmp_path),
+            batch=3,
+            seq_len=3,
+            image_size=12,
+            clip_len=6,
+            raw_image_size=16,
+            crop=14,
+            crop_random=True,
+            shuffle_buffer=4,
+            seed=3,
+            start_batch=start_batch,
+            decode_threads=threads,
+        )
+
+    serial, par = make(0), make(4)
+    for i in range(8):
+        a, b = serial.batch_at(i), par.batch_at(i)
+        for key in ("frames", "actions", "states"):
+            np.testing.assert_array_equal(
+                np.asarray(a[key]), np.asarray(b[key]), err_msg=f"{key}@{i}"
+            )
+
+    # Resume fast-forward composes: a threads=4 reader started at batch 5
+    # equals an uninterrupted serial stream at the same position.
+    resumed = make(4, start_batch=5)
+    serial2 = make(0)
+    for i in range(5):
+        serial2.batch_at(i)
+    np.testing.assert_array_equal(
+        np.asarray(serial2.batch_at(5)["frames"]),
+        np.asarray(resumed.batch_at(0)["frames"]),
+    )
