@@ -58,6 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
             "configs",
             "make-data",
             "profile-report",
+            "doctor",
         ],
     )
     p.add_argument("--preset", default="config1", help="BASELINE.json preset name")
@@ -95,6 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--json",
         default=None,
         help="profile-report: also write the full per-op rows as JSON",
+    )
+    p.add_argument(
+        "--probe-timeout",
+        type=int,
+        default=120,
+        help="doctor: seconds before the subprocess device probe is "
+        "declared hung",
+    )
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="doctor: force a jax platform inside the probe subprocess "
+        "(e.g. 'cpu'; default probes the environment's own platform)",
     )
     p.add_argument(
         "--profile-steps",
@@ -161,6 +175,23 @@ def main(argv=None) -> int:
                 json.dump(payload, f, indent=1)
             print(f"[acgan] wrote {args.json}")
         return 0
+
+    if args.command == "doctor":
+        # Environment diagnosis WITHOUT touching devices in this process:
+        # on the tunneled TPU platform a wedged helper makes any in-process
+        # jax call hang unrecoverably, so all device checks run in
+        # subprocesses with timeouts (utils/doctor.py).
+        from action_conditioned_gans_tpu.utils.doctor import run_doctor
+
+        cfg = get_preset(args.preset)
+        if args.workdir:
+            cfg = dataclasses.replace(cfg, workdir=args.workdir)
+        cfg = apply_overrides(cfg, args.overrides)
+        report = run_doctor(
+            cfg, probe_timeout=args.probe_timeout, platform=args.platform
+        )
+        print(json.dumps(report, indent=1))
+        return 0 if report["ok"] else 1
 
     if args.command == "configs":
         from action_conditioned_gans_tpu.config import PRESETS

@@ -1,0 +1,96 @@
+"""Tests for `acgan doctor` (utils/doctor.py): subprocess device probe,
+native-lib/ABI check, data-dir validation, and the CLI wiring.
+
+The probe subprocess inherits the real environment (it must — diagnosing
+THAT environment is the point), so every test forces platform="cpu" inside
+the probe; the suite's own in-process cpu config cannot reach a subprocess.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from action_conditioned_gans_tpu.config import get_preset
+from action_conditioned_gans_tpu.utils import doctor
+
+
+def test_device_probe_cpu_ok():
+    info = doctor._device_probe(timeout=300, platform="cpu")
+    assert info["ok"], info
+    assert info["platform"] == "cpu"
+    assert info["devices"] >= 1
+
+
+def test_device_probe_hang_is_diagnosed(monkeypatch):
+    monkeypatch.setattr(doctor, "_PROBE", "import time; time.sleep(60)")
+    info = doctor._device_probe(timeout=2, platform=None)
+    assert not info["ok"]
+    assert "hung past 2s" in info["error"]
+
+
+def test_device_probe_crash_is_diagnosed(monkeypatch):
+    monkeypatch.setattr(
+        doctor, "_PROBE", "import sys; sys.exit(7)"
+    )
+    info = doctor._device_probe(timeout=60, platform=None)
+    assert not info["ok"]
+    assert "exited 7" in info["error"]
+
+
+def test_data_dir_checks(tmp_path):
+    cfg = get_preset("config1")
+    # missing dir -> not ok
+    bad = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, data_dir=str(tmp_path / "nope"))
+    )
+    r = doctor._data_dir(bad)
+    assert not r["ok"] and "no TFRecord files" in r["error"]
+
+    # real fixture -> schema reported
+    from action_conditioned_gans_tpu.data.native_tfrecord import (
+        write_clips_tfrecord_native,
+    )
+
+    rng = np.random.RandomState(0)
+    write_clips_tfrecord_native(
+        str(tmp_path / "c.tfrecord"),
+        rng.randint(0, 256, size=(2, 4, 8, 8, 3), dtype=np.uint8),
+        rng.randn(2, 4, 4).astype(np.float32),
+        rng.randn(2, 4, 3).astype(np.float32),
+    )
+    good = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, data_dir=str(tmp_path), clip_len=4, raw_image_size=8
+        ),
+    )
+    r = doctor._data_dir(good)
+    assert r["ok"], r
+    assert r["first_clip"]["frames"] == [4, 8, 8, 3]
+
+
+def test_cli_doctor_end_to_end(tmp_path, capsys, monkeypatch):
+    # Patch the slow informational TF-import subprocess; everything else
+    # (device probe, native lib, data/checkpoint checks) runs for real.
+    monkeypatch.setattr(
+        doctor, "_tf_available", lambda: {"ok": True, "version": "patched"}
+    )
+    from action_conditioned_gans_tpu import cli
+
+    rc = cli.main(
+        [
+            "doctor",
+            "--platform",
+            "cpu",
+            "--probe-timeout",
+            "300",
+            "--workdir",
+            str(tmp_path),
+        ]
+    )
+    report = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert report["ok"] and report["device"]["ok"] and report["native_lib"]["ok"]
+    assert report["checkpoints"]["skipped"].startswith("no checkpoint dir")
