@@ -271,6 +271,17 @@ def write_clips_tfrecord_native(
 # ---------------------------------------------------------------------------
 
 
+def tfrecord_file_pattern(data_dir: str) -> str:
+    """The one glob rule for TFRecord sources (shared by both file readers
+    and `acgan doctor`, so the doctor validates exactly the file set the
+    readers consume): a path containing glob metacharacters in its basename
+    is used as-is, anything else is treated as a directory of
+    ``*.tfrecord*`` files."""
+    if any(ch in os.path.basename(data_dir) for ch in "*?["):
+        return data_dir
+    return os.path.join(data_dir, "*.tfrecord*")
+
+
 def bilinear_resize(frames_f: np.ndarray, out: int, out_w: int = None) -> np.ndarray:
     """Separable bilinear resize of (T, H, W, C) float frames to
     (out, out_w or out), matching ``tf.image.resize`` defaults (half-pixel
@@ -531,11 +542,7 @@ class NativeTFRecordClips:
     ):
         import glob
 
-        pattern = (
-            data_dir
-            if any(ch in os.path.basename(data_dir) for ch in "*?[")
-            else os.path.join(data_dir, "*.tfrecord*")
-        )
+        pattern = tfrecord_file_pattern(data_dir)
         files = sorted(glob.glob(pattern))
         if not files:
             raise FileNotFoundError(f"no TFRecord files match {pattern}")
@@ -690,7 +697,20 @@ class NativeTFRecordClips:
         lookahead = 2 * self.decode_threads
         with ThreadPoolExecutor(self.decode_threads) as pool:
             pending = collections.deque()
-            for path, data, n in raw:
+            it = iter(raw)
+            while True:
+                try:
+                    path, data, n = next(it)
+                except StopIteration:
+                    break
+                except Exception:
+                    # A raw-stream error (corrupt framing) must surface at
+                    # the same stream position as in the serial reader:
+                    # first yield the records already parsed ahead, THEN
+                    # re-raise — otherwise lookahead-1 good clips vanish.
+                    while pending:
+                        yield pending.popleft().result()
+                    raise
                 src = ctypes.cast(data, ctypes.POINTER(ctypes.c_uint8 * n))
                 buf = (ctypes.c_uint8 * n).from_buffer_copy(src.contents)
                 pending.append(pool.submit(self._parse, path, buf, n))

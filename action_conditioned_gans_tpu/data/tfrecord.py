@@ -64,11 +64,11 @@ class TFRecordClips:
     ):
         if not data_dir:
             raise ValueError("tfrecord source requires data_dir")
-        pattern = (
-            data_dir
-            if any(ch in os.path.basename(data_dir) for ch in "*?[")
-            else os.path.join(data_dir, "*.tfrecord*")
+        from action_conditioned_gans_tpu.data.native_tfrecord import (
+            tfrecord_file_pattern,
         )
+
+        pattern = tfrecord_file_pattern(data_dir)
         files = sorted(glob.glob(pattern))
         if not files:
             raise FileNotFoundError(f"no TFRecord files match {pattern}")

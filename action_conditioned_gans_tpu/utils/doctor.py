@@ -6,9 +6,11 @@ modes where ANY in-process jax call — including ``jax.devices()`` itself —
 can hang indefinitely (wedged remote compile helper, full tunnel outages;
 BASELINE.md methodology notes). A hung in-process client can never retry,
 so every device check here runs in a SUBPROCESS with a timeout, the same
-discipline bench.py's canary uses. ``doctor`` gives users one command that
-says which layer is broken: the device/tunnel, the native I/O library, the
-optional TF dependency, the data directory, or the checkpoint dir.
+discipline bench.py's canary uses (bench.py imports ``device_probe`` from
+here — ONE definition of the canonical dispatch+compile+execute+fetch
+probe). ``doctor`` gives users one command that says which layer is
+broken: the device/tunnel, the native I/O library, the optional TF
+dependency, the data directory, or the checkpoint dir.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from typing import Dict, Optional
 # on the tunneled platform): proves dispatch, compile, execute, and fetch
 # all work. Optionally forces a platform first (tests force "cpu"; env vars
 # alone cannot override a plugin platform, so it must happen in-process
-# inside the probe).
+# inside the probe). Shared with bench.py's canary.
 _PROBE = """
 import json, time
 t0 = time.time()
@@ -38,10 +40,74 @@ v = float(jax.device_get(jax.jit(lambda x: (x * 2 + 1).sum())(jnp.ones((128, 128
 print(json.dumps({{
     "platform": ds[0].platform,
     "devices": len(ds),
-    "probe_value_ok": v == 128 * 128 * 3.0,
+    "probe_value": v,
     "seconds": round(time.time() - t0, 2),
 }}))
 """
+_PROBE_WANT = 128 * 128 * 3.0
+
+
+def _end_probe(proc: subprocess.Popen, grace: float = 15.0) -> None:
+    """Stop a timed-out probe WITHOUT SIGKILL-ing a possible TPU lease
+    holder: in the wedged-compile-helper mode the probe has already opened
+    the TPU client (jax.devices() worked; the hang is in the jit), and a
+    SIGKILL there wedges the device lease for ~10-15 min — sabotaging the
+    very retry loop the caller is running. SIGTERM first (the client
+    releases cleanly), hard kill only if that is ignored."""
+    proc.terminate()
+    try:
+        proc.wait(timeout=grace)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+
+
+def device_probe(timeout: int, platform: Optional[str] = None) -> Dict[str, object]:
+    """Run the jit-and-fetch canary in a subprocess; a hang or crash is a
+    diagnosis, not an exception. Returns at least {"ok": bool} plus either
+    probe stats or an "error" explanation."""
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _PROBE.format(platform=platform or "")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        _end_probe(proc)
+        return {
+            "ok": False,
+            "error": (
+                f"device probe hung past {timeout}s — on the tunneled TPU "
+                "platform this means a wedged compile helper or a tunnel "
+                "outage (known failure modes; wedges recover in ~10-60 min, "
+                "outages can last hours). Nothing client-side fixes it; "
+                "retry later. The probe was stopped with SIGTERM so a held "
+                "device lease releases cleanly."
+            ),
+        }
+    if proc.returncode != 0:
+        return {
+            "ok": False,
+            "error": f"device probe exited {proc.returncode}",
+            "stderr_tail": err.strip().splitlines()[-3:],
+        }
+    try:
+        info = json.loads(out.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {"ok": False, "error": "device probe printed no JSON",
+                "stdout_tail": out.strip().splitlines()[-3:]}
+    value = info.pop("probe_value", None)
+    info["ok"] = value == _PROBE_WANT
+    if not info["ok"]:
+        info["error"] = (
+            f"device computed a WRONG probe value ({value}, expected "
+            f"{_PROBE_WANT}) — numerics-corrupting platform fault"
+        )
+    info["wall_seconds"] = round(time.time() - t0, 2)
+    return info
 
 
 def _versions() -> Dict[str, str]:
@@ -57,44 +123,6 @@ def _versions() -> Dict[str, str]:
     return out
 
 
-def _device_probe(timeout: int, platform: Optional[str]) -> Dict[str, object]:
-    """Run the jit-and-fetch canary in a subprocess; a hang or crash is a
-    diagnosis, not an exception."""
-    t0 = time.time()
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", _PROBE.format(platform=platform or "")],
-            timeout=timeout,
-            capture_output=True,
-            text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return {
-            "ok": False,
-            "error": (
-                f"device probe hung past {timeout}s — on the tunneled TPU "
-                "platform this means a wedged compile helper or a tunnel "
-                "outage (known failure modes; they recover in ~10-60 min, "
-                "outages can last hours). Nothing client-side fixes it; "
-                "retry later. A hung probe holds no TPU lease."
-            ),
-        }
-    if r.returncode != 0:
-        return {
-            "ok": False,
-            "error": f"device probe exited {r.returncode}",
-            "stderr_tail": r.stderr.strip().splitlines()[-3:],
-        }
-    try:
-        info = json.loads(r.stdout.strip().splitlines()[-1])
-    except (ValueError, IndexError):
-        return {"ok": False, "error": "device probe printed no JSON",
-                "stdout_tail": r.stdout.strip().splitlines()[-3:]}
-    info["ok"] = bool(info.pop("probe_value_ok", False))
-    info["wall_seconds"] = round(time.time() - t0, 2)
-    return info
-
-
 def _native_lib() -> Dict[str, object]:
     try:
         from action_conditioned_gans_tpu.data import native_tfrecord as nt
@@ -105,32 +133,42 @@ def _native_lib() -> Dict[str, object]:
         return {"ok": False, "error": f"{type(e).__name__}: {e}"}
 
 
-def _tf_available() -> Dict[str, object]:
-    """Import TF in a subprocess: a broken TF install must not take the
-    doctor process down with it (and the import is heavy)."""
-    code = "import tensorflow as tf; print(tf.__version__)"
+def _start_tf_check() -> subprocess.Popen:
+    """TF import in a subprocess (heavy, and a broken install must not take
+    doctor down); started early so it overlaps the device probe."""
+    return subprocess.Popen(
+        [sys.executable, "-c", "import tensorflow as tf; print(tf.__version__)"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def _collect_tf_check(proc: subprocess.Popen, timeout: int) -> Dict[str, object]:
     try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=120, capture_output=True,
-            text=True,
-        )
+        out, err = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {"ok": False, "error": "tensorflow import hung past 120s"}
-    if r.returncode != 0:
+        proc.kill()
+        proc.wait()
+        return {"ok": False, "error": f"tensorflow import hung past {timeout}s"}
+    if proc.returncode != 0:
         return {"ok": False, "error": "tensorflow import failed",
-                "stderr_tail": r.stderr.strip().splitlines()[-2:]}
-    return {"ok": True, "version": r.stdout.strip().splitlines()[-1]}
+                "stderr_tail": err.strip().splitlines()[-2:]}
+    return {"ok": True, "version": out.strip().splitlines()[-1]}
 
 
 def _data_dir(cfg) -> Dict[str, object]:
     d = cfg.data
+    if d.source not in ("tfrecord", "tfrecord_native"):
+        # A leftover data_dir must not fail a run that never reads it.
+        return {"ok": True, "skipped": f"source={d.source!r} reads no files"}
     if not d.data_dir:
-        return {"ok": True, "skipped": "data.data_dir not set (synthetic source)"}
-    pattern = (
-        d.data_dir
-        if any(ch in os.path.basename(d.data_dir) for ch in "*?[")
-        else os.path.join(d.data_dir, "*.tfrecord*")
+        return {"ok": False, "error": f"source={d.source!r} but data.data_dir unset"}
+    from action_conditioned_gans_tpu.data.native_tfrecord import (
+        tfrecord_file_pattern,
     )
+
+    pattern = tfrecord_file_pattern(d.data_dir)
     files = sorted(glob.glob(pattern))
     if not files:
         return {"ok": False, "error": f"no TFRecord files match {pattern}"}
@@ -177,12 +215,15 @@ def run_doctor(
 ) -> Dict[str, object]:
     """All checks, failure-tolerant; ``ok`` is the AND of the non-skipped
     checks (the TF check is informational — the native reader covers
-    TF-free hosts by design, RUNBOOK)."""
+    TF-free hosts by design, RUNBOOK). The two subprocess checks (device
+    probe, TF import) run concurrently so a dead tunnel costs one timeout,
+    not two."""
+    tf_proc = _start_tf_check()
     report: Dict[str, object] = {
         "versions": _versions(),
-        "device": _device_probe(probe_timeout, platform),
+        "device": device_probe(probe_timeout, platform),
         "native_lib": _native_lib(),
-        "tensorflow": _tf_available(),
+        "tensorflow": _collect_tf_check(tf_proc, timeout=120),
         "data_dir": _data_dir(cfg),
         "checkpoints": _checkpoints(cfg),
     }

@@ -85,49 +85,40 @@ def _watchdog(seconds: int, stage: str):
     return t
 
 
-_CANARY_CODE = (
-    "import jax, jax.numpy as jnp; "
-    "print(float(jax.device_get("
-    "jax.jit(lambda x: (x * 2 + 1).sum())(jnp.ones((128, 128))))))"
-)
-
-
 def _canary() -> None:
     """Wait out a wedged compile helper instead of hanging forever (or
     zeroing the metric on a transient wedge): probe with a tiny jit + real
     value read in a SUBPROCESS (normally seconds), retrying until
     CANARY_BUDGET is spent. Only after a probe succeeds does this process
-    touch the TPU."""
+    touch the TPU. The probe itself is utils/doctor.device_probe — one
+    shared definition of the dispatch+compile+execute+fetch canary, with
+    SIGTERM-first shutdown so a timed-out probe that already holds the
+    device lease releases it cleanly (a SIGKILL there wedges the lease
+    ~10-15 min and sabotages this very retry loop)."""
     if CANARY_TIMEOUT <= 0:
         return
-    import subprocess
     import time
+
+    from action_conditioned_gans_tpu.utils.doctor import device_probe
 
     deadline = time.time() + max(CANARY_BUDGET, CANARY_TIMEOUT)
     attempt = 0
     while True:
         attempt += 1
-        try:
-            subprocess.run(
-                [sys.executable, "-c", _CANARY_CODE],
-                timeout=CANARY_TIMEOUT,
-                check=True,
-                capture_output=True,
-            )
+        if device_probe(CANARY_TIMEOUT).get("ok"):
             return
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            if time.time() + CANARY_RETRY >= deadline:
-                _die(
-                    f"tiny-jit canary ({attempt} subprocess probes)",
-                    int(max(CANARY_BUDGET, CANARY_TIMEOUT)),
-                )
-            print(
-                f"[bench] canary probe {attempt} failed/hung; retrying in "
-                f"{CANARY_RETRY}s (compile helper likely wedged)",
-                file=sys.stderr,
-                flush=True,
+        if time.time() + CANARY_RETRY >= deadline:
+            _die(
+                f"tiny-jit canary ({attempt} subprocess probes)",
+                int(max(CANARY_BUDGET, CANARY_TIMEOUT)),
             )
-            time.sleep(CANARY_RETRY)
+        print(
+            f"[bench] canary probe {attempt} failed/hung; retrying in "
+            f"{CANARY_RETRY}s (compile helper likely wedged)",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(CANARY_RETRY)
 
 
 def main() -> int:

@@ -10,14 +10,13 @@ import dataclasses
 import json
 
 import numpy as np
-import pytest
 
 from action_conditioned_gans_tpu.config import get_preset
 from action_conditioned_gans_tpu.utils import doctor
 
 
 def test_device_probe_cpu_ok():
-    info = doctor._device_probe(timeout=300, platform="cpu")
+    info = doctor.device_probe(timeout=300, platform="cpu")
     assert info["ok"], info
     assert info["platform"] == "cpu"
     assert info["devices"] >= 1
@@ -25,28 +24,59 @@ def test_device_probe_cpu_ok():
 
 def test_device_probe_hang_is_diagnosed(monkeypatch):
     monkeypatch.setattr(doctor, "_PROBE", "import time; time.sleep(60)")
-    info = doctor._device_probe(timeout=2, platform=None)
+    info = doctor.device_probe(timeout=2, platform=None)
     assert not info["ok"]
     assert "hung past 2s" in info["error"]
+    assert "SIGTERM" in info["error"]  # never SIGKILL a lease holder first
 
 
 def test_device_probe_crash_is_diagnosed(monkeypatch):
-    monkeypatch.setattr(
-        doctor, "_PROBE", "import sys; sys.exit(7)"
-    )
-    info = doctor._device_probe(timeout=60, platform=None)
+    monkeypatch.setattr(doctor, "_PROBE", "import sys; sys.exit(7)")
+    info = doctor.device_probe(timeout=60, platform=None)
     assert not info["ok"]
     assert "exited 7" in info["error"]
 
 
+def test_device_probe_wrong_value_is_explained(monkeypatch):
+    # NB: no literal braces — device_probe str.format()s the template.
+    monkeypatch.setattr(
+        doctor,
+        "_PROBE",
+        "import json; print(json.dumps(dict(platform='x', devices=1, "
+        "probe_value=1.0, seconds=0.0)))",
+    )
+    info = doctor.device_probe(timeout=60, platform=None)
+    assert not info["ok"]
+    assert "WRONG probe value (1.0" in info["error"]
+
+
 def test_data_dir_checks(tmp_path):
     cfg = get_preset("config1")
-    # missing dir -> not ok
-    bad = dataclasses.replace(
+    # synthetic source: files are never read — a stale data_dir must not fail
+    stale = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, data_dir=str(tmp_path / "nope"))
+    )
+    assert stale.data.source == "synthetic"
+    r = doctor._data_dir(stale)
+    assert r["ok"] and "reads no files" in r["skipped"]
+
+    # file source + missing dir -> not ok
+    bad = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, source="tfrecord_native", data_dir=str(tmp_path / "nope")
+        ),
     )
     r = doctor._data_dir(bad)
     assert not r["ok"] and "no TFRecord files" in r["error"]
+
+    # file source with data_dir unset -> explicit error
+    unset = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, source="tfrecord_native", data_dir=None),
+    )
+    r = doctor._data_dir(unset)
+    assert not r["ok"] and "data.data_dir unset" in r["error"]
 
     # real fixture -> schema reported
     from action_conditioned_gans_tpu.data.native_tfrecord import (
@@ -63,7 +93,11 @@ def test_data_dir_checks(tmp_path):
     good = dataclasses.replace(
         cfg,
         data=dataclasses.replace(
-            cfg.data, data_dir=str(tmp_path), clip_len=4, raw_image_size=8
+            cfg.data,
+            source="tfrecord_native",
+            data_dir=str(tmp_path),
+            clip_len=4,
+            raw_image_size=8,
         ),
     )
     r = doctor._data_dir(good)
@@ -74,8 +108,11 @@ def test_data_dir_checks(tmp_path):
 def test_cli_doctor_end_to_end(tmp_path, capsys, monkeypatch):
     # Patch the slow informational TF-import subprocess; everything else
     # (device probe, native lib, data/checkpoint checks) runs for real.
+    monkeypatch.setattr(doctor, "_start_tf_check", lambda: None)
     monkeypatch.setattr(
-        doctor, "_tf_available", lambda: {"ok": True, "version": "patched"}
+        doctor,
+        "_collect_tf_check",
+        lambda proc, timeout: {"ok": True, "version": "patched"},
     )
     from action_conditioned_gans_tpu import cli
 

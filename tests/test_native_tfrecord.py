@@ -336,3 +336,50 @@ def test_parallel_decode_matches_serial(tmp_path, encoding):
         np.asarray(serial2.batch_at(5)["frames"]),
         np.asarray(resumed.batch_at(0)["frames"]),
     )
+
+
+def test_parallel_decode_error_position_matches_serial(tmp_path):
+    """A corrupt-framing error must surface at the same stream position in
+    parallel mode: the clips parsed ahead of the failure are yielded first
+    (r3c review: they were silently dropped), so the consumer sees exactly
+    the serial reader's prefix, then the same error."""
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays(n=10, t=4, hw=8, seed=9)
+    write_clips_tfrecord_native(path, frames, actions, states)
+    import os
+
+    # Corrupt the file at 70% of its length: the reader yields the records
+    # fully framed before that point, then hits a CRC/framing error.
+    with open(path, "r+b") as f:
+        f.seek(int(os.path.getsize(path) * 0.7))
+        f.write(b"\xa5" * 64)
+
+    def consume(threads):
+        ds = NativeTFRecordClips(
+            data_dir=str(tmp_path),
+            batch=1,
+            seq_len=2,
+            image_size=8,
+            clip_len=4,
+            raw_image_size=8,
+            seed=0,
+            repeat=False,
+            decode_threads=threads,
+        )
+        got, err = [], None
+        gen = ds._records()
+        try:
+            for clip in gen:
+                got.append(clip[0].copy())
+        except IOError as e:
+            err = str(e)
+        return got, err
+
+    s_clips, s_err = consume(0)
+    p_clips, p_err = consume(4)
+    assert s_err is not None and "corrupt" in s_err
+    assert p_err == s_err
+    assert len(p_clips) == len(s_clips)
+    for a, b in zip(s_clips, p_clips):
+        np.testing.assert_array_equal(a, b)
+
