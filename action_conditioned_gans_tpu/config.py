@@ -142,6 +142,14 @@ class DataConfig:
 
     source: str = "synthetic"
     data_dir: Optional[str] = None
+    # Held-out split for evaluate()/sample() on file sources. When unset,
+    # eval reads data_dir — the TRAINING files — which is only honest for
+    # quick smoke checks. Point this at a validation split so one config
+    # trains on data_dir and evaluates on eval_data_dir (VERDICT r3 weak 3:
+    # the reference evaluates on held-out (frame, action) pairs, SURVEY.md
+    # §1 capability 6). Ignored by source="synthetic" (its held-out stream
+    # is disjointly seeded instead).
+    eval_data_dir: Optional[str] = None
     # Clip length for DIRECTLY-constructed readers (tests, tools). The
     # training pipeline derives its window length from
     # train.rollout_length + 1; make_dataset ignores this field.

@@ -337,7 +337,16 @@ def _decode_frames_pil(
         if len(buf) == raw_bytes:  # mixed-encoding clip: raw frame
             frames[t] = np.frombuffer(buf, np.uint8).reshape(height, width, channels)
             continue
-        img = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"), np.uint8)
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(channels)
+        if mode is None:
+            raise ValueError(
+                f"compressed frames support channels in (1, 3, 4); got "
+                f"channels={channels} (ADVICE r3: a hard-coded RGB convert "
+                "used to fail later with an opaque broadcast error)"
+            )
+        img = np.asarray(Image.open(io.BytesIO(buf)).convert(mode), np.uint8)
+        if channels == 1:
+            img = img[..., None]
         if img.shape[:2] != (height, width):
             img = np.clip(
                 np.round(

@@ -214,10 +214,16 @@ class Predictor:
         if cfg is None:
             cfg = Config(model=model)
         else:
+            # Architecture fields come from the archive; RUNTIME-only knobs
+            # (dtype, kernel backend, gradient-engine choices) stay the
+            # caller's — an exported archive records how the model was
+            # trained, not how this host should execute it (ADVICE r3:
+            # wgrad was missing here, silently overwriting the caller's).
+            runtime_only = ("compute_dtype", "backend", "gn_backward", "wgrad")
             arch_fields = {
                 f.name: getattr(model, f.name)
                 for f in dataclasses.fields(ModelConfig)
-                if f.name not in ("compute_dtype", "backend", "gn_backward")
+                if f.name not in runtime_only
             }
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, **arch_fields)

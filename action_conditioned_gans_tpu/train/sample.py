@@ -126,9 +126,11 @@ def held_out_batches(cfg: Config, batch_size: int, horizon: int, seed: int):
     """Infinite stream of held-out clip batches from the CONFIGURED source.
 
     Synthetic: seeded disjointly from the training stream. File sources
-    (tfrecord / tfrecord_native): reads cfg.data.data_dir — point it at a
-    validation split for honest eval (the reference evaluates the same way:
-    held-out (frame, action) pairs, SURVEY.md §1).
+    (tfrecord / tfrecord_native): reads cfg.data.eval_data_dir when set —
+    the honest-eval path: train on data_dir, evaluate on a validation
+    split, ONE config (the reference evaluates the same way: held-out
+    (frame, action) pairs, SURVEY.md §1). Falls back to data_dir (with the
+    same clips the model trains on) when eval_data_dir is unset.
     """
     if cfg.data.source == "synthetic":
         i = 0
@@ -149,6 +151,9 @@ def held_out_batches(cfg: Config, batch_size: int, horizon: int, seed: int):
 
         eval_cfg = dataclasses.replace(
             cfg,
+            data=dataclasses.replace(
+                cfg.data, data_dir=cfg.data.eval_data_dir or cfg.data.data_dir
+            ),
             train=dataclasses.replace(
                 cfg.train, batch_size=batch_size, rollout_length=horizon, seed=seed
             ),

@@ -157,18 +157,19 @@ def _collect_tf_check(proc: subprocess.Popen, timeout: int) -> Dict[str, object]
     return {"ok": True, "version": out.strip().splitlines()[-1]}
 
 
-def _data_dir(cfg) -> Dict[str, object]:
+def _data_dir(cfg, dir_path: Optional[str] = None) -> Dict[str, object]:
     d = cfg.data
     if d.source not in ("tfrecord", "tfrecord_native"):
         # A leftover data_dir must not fail a run that never reads it.
         return {"ok": True, "skipped": f"source={d.source!r} reads no files"}
-    if not d.data_dir:
+    dir_path = dir_path or d.data_dir
+    if not dir_path:
         return {"ok": False, "error": f"source={d.source!r} but data.data_dir unset"}
     from action_conditioned_gans_tpu.data.native_tfrecord import (
         tfrecord_file_pattern,
     )
 
-    pattern = tfrecord_file_pattern(d.data_dir)
+    pattern = tfrecord_file_pattern(dir_path)
     files = sorted(glob.glob(pattern))
     if not files:
         return {"ok": False, "error": f"no TFRecord files match {pattern}"}
@@ -198,6 +199,24 @@ def _data_dir(cfg) -> Dict[str, object]:
     return out
 
 
+def _eval_data_dir(cfg) -> Dict[str, object]:
+    """Validate the held-out split exactly like the training dir. When
+    eval_data_dir is unset, eval falls back to data_dir — flagged here as
+    an informational note, not a failure (legal, but eval metrics then
+    measure the training clips)."""
+    d = cfg.data
+    if d.source not in ("tfrecord", "tfrecord_native"):
+        return {"ok": True, "skipped": f"source={d.source!r} reads no files"}
+    if not d.eval_data_dir:
+        return {
+            "ok": True,
+            "skipped": "eval_data_dir unset — evaluate()/sample() will read "
+            "the TRAINING data_dir (fine for smoke checks; set "
+            "data.eval_data_dir to a validation split for honest eval)",
+        }
+    return _data_dir(cfg, d.eval_data_dir)
+
+
 def _checkpoints(cfg) -> Dict[str, object]:
     ckpt_dir = os.path.join(cfg.workdir, "checkpoints")
     if not os.path.isdir(ckpt_dir):
@@ -207,7 +226,17 @@ def _checkpoints(cfg) -> Dict[str, object]:
         for p in glob.glob(os.path.join(ckpt_dir, "*"))
         if os.path.basename(p).isdigit()
     )
-    return {"ok": True, "steps": steps[-5:], "latest": steps[-1] if steps else None}
+    if not steps:
+        # A checkpoint dir EXISTS but holds no restorable numeric step —
+        # --resume would silently start from scratch (ADVICE r3: this
+        # branch used to report healthy, leaving the report-level gate
+        # dead).
+        return {
+            "ok": False,
+            "error": f"{ckpt_dir} exists but contains no numeric step dirs "
+            "— nothing is restorable; a --resume run would start over",
+        }
+    return {"ok": True, "steps": steps[-5:], "latest": steps[-1]}
 
 
 def run_doctor(
@@ -225,10 +254,11 @@ def run_doctor(
         "native_lib": _native_lib(),
         "tensorflow": _collect_tf_check(tf_proc, timeout=120),
         "data_dir": _data_dir(cfg),
+        "eval_data_dir": _eval_data_dir(cfg),
         "checkpoints": _checkpoints(cfg),
     }
     report["ok"] = all(
         bool(report[k].get("ok"))
-        for k in ("device", "native_lib", "data_dir", "checkpoints")
+        for k in ("device", "native_lib", "data_dir", "eval_data_dir", "checkpoints")
     )
     return report

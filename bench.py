@@ -42,15 +42,22 @@ BENCH_OVERRIDES = os.environ.get(
 # Watchdogs against the platform's known failure mode (CLAUDE.md rule 5/6:
 # the remote compile helper intermittently wedges and ANY jit then hangs
 # indefinitely, observed >1 h). Better one honest error line than a bench
-# that never returns to the driver. Seconds; 0 disables.
-# The canary probes in SUBPROCESSES (a wedged in-process jax.devices() can
-# never be retried) every CANARY_RETRY seconds until CANARY_BUDGET is
-# spent — wedges recover in ~10-60 min (r3 observed 40+ min), so waiting
-# out a transient one beats zeroing the round's metric.
-CANARY_TIMEOUT = int(os.environ.get("ACGAN_BENCH_CANARY_TIMEOUT", "120"))
-CANARY_RETRY = int(os.environ.get("ACGAN_BENCH_CANARY_RETRY", "60"))
-CANARY_BUDGET = int(os.environ.get("ACGAN_BENCH_CANARY_BUDGET", "3600"))
-TOTAL_TIMEOUT = int(os.environ.get("ACGAN_BENCH_TIMEOUT", "2400"))
+# that never returns to the driver. Seconds; 0 disables the watchdog.
+#
+# r3 lesson (VERDICT r3, missing #1): the canary's recovery budget (then
+# 3600 s) exceeded the DRIVER's own patience (~11 min observed), so the
+# designed "one honest error JSON line instead of a hang" never printed —
+# the driver recorded rc 124, parsed: null. The whole process now runs
+# under ONE global wall-clock deadline, armed at startup BEFORE anything
+# touches jax: whatever stage is live when it expires, the error line
+# prints and the process exits while the driver is still listening.
+# Raise ACGAN_BENCH_DEADLINE for manual long-wait runs during an outage.
+DEADLINE = int(os.environ.get("ACGAN_BENCH_DEADLINE", "480"))
+CANARY_TIMEOUT = int(os.environ.get("ACGAN_BENCH_CANARY_TIMEOUT", "90"))
+CANARY_RETRY = int(os.environ.get("ACGAN_BENCH_CANARY_RETRY", "45"))
+
+_START = None  # set in __main__ before the watchdog arms
+_STAGE = ["startup"]  # mutable so the watchdog names the live stage
 
 
 def _die(stage: str, seconds: int) -> None:
@@ -74,12 +81,15 @@ def _die(stage: str, seconds: int) -> None:
     os._exit(3)
 
 
-def _watchdog(seconds: int, stage: str):
+def _watchdog(seconds: int):
+    """Arm the single global deadline: fire _die naming whatever stage is
+    current when it expires. Armed before any jax import so even a hung
+    jax.devices() (r3's failure mode) cannot outlive it."""
     if seconds <= 0:
         return None
     import threading
 
-    t = threading.Timer(seconds, _die, args=(stage, seconds))
+    t = threading.Timer(seconds, lambda: _die(_STAGE[0], seconds))
     t.daemon = True
     t.start()
     return t
@@ -88,11 +98,11 @@ def _watchdog(seconds: int, stage: str):
 def _canary() -> None:
     """Wait out a wedged compile helper instead of hanging forever (or
     zeroing the metric on a transient wedge): probe with a tiny jit + real
-    value read in a SUBPROCESS (normally seconds), retrying until
-    CANARY_BUDGET is spent. Only after a probe succeeds does this process
-    touch the TPU. The probe itself is utils/doctor.device_probe — one
-    shared definition of the dispatch+compile+execute+fetch canary, with
-    SIGTERM-first shutdown so a timed-out probe that already holds the
+    value read in a SUBPROCESS (normally seconds), retrying until the
+    global deadline is nearly spent. Only after a probe succeeds does this
+    process touch the TPU. The probe itself is utils/doctor.device_probe —
+    one shared definition of the dispatch+compile+execute+fetch canary,
+    with SIGTERM-first shutdown so a timed-out probe that already holds the
     device lease releases it cleanly (a SIGKILL there wedges the lease
     ~10-15 min and sabotages this very retry loop)."""
     if CANARY_TIMEOUT <= 0:
@@ -101,17 +111,19 @@ def _canary() -> None:
 
     from action_conditioned_gans_tpu.utils.doctor import device_probe
 
-    deadline = time.time() + max(CANARY_BUDGET, CANARY_TIMEOUT)
+    # Leave CANARY_TIMEOUT of headroom: if a final probe could not finish
+    # AND the measurement could not even start before the deadline, give up
+    # now so the error line is the canary's (with its probe count) rather
+    # than the generic watchdog's.
+    give_up_at = _START + max(DEADLINE - CANARY_TIMEOUT, CANARY_TIMEOUT)
     attempt = 0
     while True:
         attempt += 1
+        _STAGE[0] = f"tiny-jit canary (probe {attempt})"
         if device_probe(CANARY_TIMEOUT).get("ok"):
             return
-        if time.time() + CANARY_RETRY >= deadline:
-            _die(
-                f"tiny-jit canary ({attempt} subprocess probes)",
-                int(max(CANARY_BUDGET, CANARY_TIMEOUT)),
-            )
+        if time.time() + CANARY_RETRY + CANARY_TIMEOUT >= give_up_at:
+            _die(f"tiny-jit canary ({attempt} subprocess probes)", DEADLINE)
         print(
             f"[bench] canary probe {attempt} failed/hung; retrying in "
             f"{CANARY_RETRY}s (compile helper likely wedged)",
@@ -294,10 +306,14 @@ def run_infer() -> int:
 
 
 if __name__ == "__main__":
-    # Canary first (it has its own recovery budget); the total watchdog
-    # covers only the measurement itself.
+    import time as _time
+
+    _START = _time.time()
+    # Arm the global deadline FIRST (before any jax import can hang), then
+    # canary, then measure; the error line prints whichever stage is live.
+    _watchdog(DEADLINE)
     _canary()
-    _watchdog(TOTAL_TIMEOUT, "benchmark run")
+    _STAGE[0] = "benchmark run (canary passed)"
     if "--presets" in sys.argv:
         sys.exit(run_presets())
     if "--infer" in sys.argv:

@@ -495,8 +495,14 @@ struct Reader {
   // Shared: next-unread offset and the file size taken ONCE at open (the
   // reader assumes the file is not growing underneath it — training data is
   // static; the r2 code re-statted per record, costing two seeks each).
+  // size_known guards the remaining-bytes corruption check: when the size
+  // could not be determined (stdio fallback with a failed fseek/ftell,
+  // e.g. a pipe), the check is skipped and short freads detect truncation
+  // instead — ADVICE r3: an unknown size used to read as 0 and mis-report
+  // EVERY record as corruption.
   size_t pos = 0;
   size_t file_size = 0;
+  bool size_known = false;
 };
 
 Reader* acgan_reader_open(const char* path) {
@@ -514,6 +520,7 @@ Reader* acgan_reader_open(const char* path) {
     return nullptr;
   }
   r->file_size = (size_t)st.st_size;
+  r->size_known = true;
   if (st.st_size > 0) {
     void* m = mmap(nullptr, r->file_size, PROT_READ, MAP_PRIVATE, fd, 0);
     if (m != MAP_FAILED) {
@@ -544,7 +551,10 @@ Reader* acgan_reader_open(const char* path) {
   }
   if (fseek(f, 0, SEEK_END) == 0) {
     long e = ftell(f);
-    r->file_size = e > 0 ? (size_t)e : 0;
+    if (e >= 0) {
+      r->file_size = (size_t)e;
+      r->size_known = true;
+    }
     fseek(f, 0, SEEK_SET);
   }
   r->f = f;
@@ -587,8 +597,15 @@ long acgan_reader_next(Reader* r, const uint8_t** data) {
   uint32_t lcrc;
   memcpy(&lcrc, hdr + 8, 4);
   if (masked_crc(hdr, 8) != lcrc) return -1;
-  uint64_t remaining = r->file_size > r->pos ? r->file_size - r->pos : 0;
-  if (remaining < 4 || len > remaining - 4) return -1;
+  if (r->size_known) {
+    uint64_t remaining = r->file_size > r->pos ? r->file_size - r->pos : 0;
+    if (remaining < 4 || len > remaining - 4) return -1;
+  } else if (len > (1ull << 31)) {
+    // No size to validate against: cap the length so a corrupt-but-
+    // CRC-consistent header cannot trigger a multi-GB allocation; real
+    // clip records are a few MB.
+    return -1;
+  }
   // Guard the allocation: this is a C ABI entry point, so a bad_alloc
   // escaping here would std::terminate the host process instead of
   // returning the -1 corruption code (ADVICE r1).

@@ -122,3 +122,64 @@ def test_run_infer_bench_smoke():
     assert out["infer_fps_per_chip"] > 0
     assert out["rollout_fps_per_chip"] > 0
     assert out["batch_size"] == 2 and out["rollout_length"] == 2
+
+
+def test_bench_watchdog_emits_parseable_error_before_deadline(tmp_path):
+    """VERDICT r3 missing #1: with the tunnel wedged, bench.py must print
+    ONE parseable honest-error JSON line BEFORE the driver's timeout. Run
+    the real bench.py __main__ with a stubbed always-failing device_probe
+    under a tiny deadline and assert the line parses."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stub = tmp_path / "runner.py"
+    stub.write_text(
+        "import sys, types\n"
+        "stub = types.ModuleType('action_conditioned_gans_tpu.utils.doctor')\n"
+        "stub.device_probe = lambda t: {'ok': False}\n"
+        "pkg = types.ModuleType('action_conditioned_gans_tpu')\n"
+        "pkgu = types.ModuleType('action_conditioned_gans_tpu.utils')\n"
+        "sys.modules['action_conditioned_gans_tpu'] = pkg\n"
+        "sys.modules['action_conditioned_gans_tpu.utils'] = pkgu\n"
+        "sys.modules['action_conditioned_gans_tpu.utils.doctor'] = stub\n"
+        "import runpy\n"
+        f"runpy.run_path({os.path.join(repo, 'bench.py')!r}, run_name='__main__')\n"
+    )
+    env = dict(
+        os.environ,
+        ACGAN_BENCH_DEADLINE="4",
+        ACGAN_BENCH_CANARY_TIMEOUT="1",
+        ACGAN_BENCH_CANARY_RETRY="1",
+    )
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, str(stub)],
+        capture_output=True,
+        text=True,
+        timeout=30,
+        env=env,
+        cwd=repo,
+    )
+    elapsed = time.time() - t0
+    line = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "error" in line and line["value"] == 0.0
+    assert line["metric"] == "frames_per_sec_per_chip_fused_GD_step_64px"
+    # The line printed within the deadline (+ small margin), not after it.
+    assert elapsed < 15, f"error line took {elapsed:.1f}s against a 4s deadline"
+
+
+def test_bench_default_deadline_fits_driver_patience():
+    """The default deadline must stay below the ~11 min driver timeout
+    observed in r3 (rc 124 after ~10 canary probes) with margin."""
+    import re
+
+    import pathlib
+
+    src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    m = re.search(r"ACGAN_BENCH_DEADLINE\",\s*\"(\d+)\"", src)
+    assert m, "bench.py must define ACGAN_BENCH_DEADLINE with a default"
+    assert int(m.group(1)) <= 540

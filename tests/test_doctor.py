@@ -131,3 +131,46 @@ def test_cli_doctor_end_to_end(tmp_path, capsys, monkeypatch):
     assert rc == 0
     assert report["ok"] and report["device"]["ok"] and report["native_lib"]["ok"]
     assert report["checkpoints"]["skipped"].startswith("no checkpoint dir")
+
+
+def test_eval_data_dir_check(tmp_path):
+    cfg = get_preset("config1")
+    # Unset -> informational skip naming the fallback, never a failure.
+    syn = doctor._eval_data_dir(cfg)
+    assert syn["ok"] and "reads no files" in syn["skipped"]
+    file_cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, source="tfrecord_native", data_dir=str(tmp_path)
+        ),
+    )
+    r = doctor._eval_data_dir(file_cfg)
+    assert r["ok"] and "eval_data_dir unset" in r["skipped"]
+
+    # Set but empty -> a real failure (an honest-eval run would crash).
+    bad = dataclasses.replace(
+        file_cfg,
+        data=dataclasses.replace(
+            file_cfg.data, eval_data_dir=str(tmp_path / "nope")
+        ),
+    )
+    r = doctor._eval_data_dir(bad)
+    assert not r["ok"] and "no TFRecord files" in r["error"]
+
+
+def test_checkpoints_empty_dir_is_a_failure(tmp_path):
+    """ADVICE r3: a checkpoint dir with no restorable numeric step must
+    report ok=False (the report-level gate was dead)."""
+    cfg = dataclasses.replace(get_preset("config1"), workdir=str(tmp_path))
+    # No dir at all: skipped, healthy.
+    r = doctor._checkpoints(cfg)
+    assert r["ok"] and "no checkpoint dir" in r["skipped"]
+    # Dir exists but holds no numeric step dirs: failure.
+    (tmp_path / "checkpoints").mkdir()
+    (tmp_path / "checkpoints" / "not-a-step").mkdir()
+    r = doctor._checkpoints(cfg)
+    assert not r["ok"] and "no numeric step" in r["error"]
+    # A restorable step: healthy again.
+    (tmp_path / "checkpoints" / "100").mkdir()
+    r = doctor._checkpoints(cfg)
+    assert r["ok"] and r["latest"] == 100
