@@ -111,11 +111,12 @@ def _canary() -> None:
 
     from action_conditioned_gans_tpu.utils.doctor import device_probe
 
-    # Leave CANARY_TIMEOUT of headroom: if a final probe could not finish
-    # AND the measurement could not even start before the deadline, give up
-    # now so the error line is the canary's (with its probe count) rather
-    # than the generic watchdog's.
-    give_up_at = _START + max(DEADLINE - CANARY_TIMEOUT, CANARY_TIMEOUT)
+    # Reserve measurement headroom: a canary that only passes near the
+    # deadline would leave the measurement to be watchdog-killed at value 0
+    # — worse than giving up here with the probe count. 180 s covers the
+    # observed compile+measure time at the headline geometry (r2/r3
+    # compile_s 8-37 s; full run ~2-3 min).
+    give_up_at = _START + max(DEADLINE - 180, CANARY_TIMEOUT)
     attempt = 0
     while True:
         attempt += 1

@@ -1,0 +1,56 @@
+#!/bin/bash
+# Round-4 on-chip measurement queue (VERDICT r3 next-steps 1b, 2, 3, 4, 6).
+# Run ONLY when the tunnel canary passes (acgan doctor / bench.py canary);
+# one TPU process at a time — steps are strictly sequential. Each step is
+# timeout-bounded and logs to $LOG so a mid-queue wedge loses one step, not
+# the session. Results go to BASELINE.md tables by hand afterwards.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${LOG:-/tmp/r4_onchip}
+mkdir -p "$LOG"
+run() { # run <name> <timeout-s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  timeout "$t" "$@" >"$LOG/$name.log" 2>&1
+  echo "rc=$? -> $LOG/$name.log"; tail -2 "$LOG/$name.log"
+}
+
+# 1. Driver metric at HEAD (VERDICT next-step 1b): bf16 moments, k=128.
+run bench_head 900 env ACGAN_BENCH_DEADLINE=840 python bench.py
+
+# 2a. wgrad=patches A/B at headline geometry (next-step 2).
+run bench_wgrad_patches 900 env ACGAN_BENCH_DEADLINE=840 \
+  ACGAN_BENCH_OVERRIDES="train.adam_moment_dtype=bfloat16 model.wgrad=patches" \
+  python bench.py
+
+# 2b. config3 geometry (deepest D -> most wgrad time), default vs patches.
+run bench_c3_default 900 python - <<'EOF'
+import json
+from action_conditioned_gans_tpu.bench import run_bench
+from action_conditioned_gans_tpu.config import get_preset
+print(json.dumps(run_bench(get_preset("config3"), steps=24), default=str))
+EOF
+run bench_c3_patches 900 python - <<'EOF'
+import dataclasses, json
+from action_conditioned_gans_tpu.bench import run_bench
+from action_conditioned_gans_tpu.config import get_preset
+cfg = get_preset("config3")
+cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, wgrad="patches"))
+print(json.dumps(run_bench(cfg, steps=24), default=str))
+EOF
+
+# 3. Preset sweep refresh at HEAD (next-step 3) + serving bench.
+run bench_presets 2400 env ACGAN_BENCH_DEADLINE=2100 python bench.py --presets
+run bench_infer 1200 env ACGAN_BENCH_DEADLINE=1100 python bench.py --infer
+
+# 4. xplane anatomies for config3 and config4 (next-step 3).
+run prof_c3 900 python -m action_conditioned_gans_tpu train --preset config3 \
+  --workdir /tmp/r4_prof_c3 --steps 40 --profile-steps 8
+run prof_c3_report 300 python -m action_conditioned_gans_tpu profile-report \
+  --workdir /tmp/r4_prof_c3 --json "$LOG/prof_c3.json"
+run prof_c4 900 python -m action_conditioned_gans_tpu train --preset config4 \
+  --workdir /tmp/r4_prof_c4 --steps 40 --profile-steps 8
+run prof_c4_report 300 python -m action_conditioned_gans_tpu profile-report \
+  --workdir /tmp/r4_prof_c4 --json "$LOG/prof_c4.json"
+
+echo "=== queue done $(date -u +%H:%M:%S); file-source + quality runs are separate scripts ==="
