@@ -116,7 +116,11 @@ def _canary() -> None:
     # — worse than giving up here with the probe count. 180 s covers the
     # observed compile+measure time at the headline geometry (r2/r3
     # compile_s 8-37 s; full run ~2-3 min).
-    give_up_at = _START + max(DEADLINE - 180, CANARY_TIMEOUT)
+    give_up_at = (
+        _START + max(DEADLINE - 180, CANARY_TIMEOUT)
+        if DEADLINE > 0
+        else float("inf")  # deadline 0 = fully disabled (manual outage waits)
+    )
     attempt = 0
     while True:
         attempt += 1
