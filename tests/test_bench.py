@@ -172,6 +172,56 @@ def test_bench_watchdog_emits_parseable_error_before_deadline(tmp_path):
     assert elapsed < 15, f"error line took {elapsed:.1f}s against a 4s deadline"
 
 
+def test_bench_deadline_zero_retries_forever(tmp_path):
+    """ACGAN_BENCH_DEADLINE=0 disables the watchdog AND the canary give-up
+    (manual outage waits): with an always-failing probe the process must
+    still be alive and retrying well past where a small deadline would have
+    killed it — no error line, no exit."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stub = tmp_path / "runner.py"
+    stub.write_text(
+        "import sys, types\n"
+        "stub = types.ModuleType('action_conditioned_gans_tpu.utils.doctor')\n"
+        "stub.device_probe = lambda t: {'ok': False}\n"
+        "pkg = types.ModuleType('action_conditioned_gans_tpu')\n"
+        "pkgu = types.ModuleType('action_conditioned_gans_tpu.utils')\n"
+        "sys.modules['action_conditioned_gans_tpu'] = pkg\n"
+        "sys.modules['action_conditioned_gans_tpu.utils'] = pkgu\n"
+        "sys.modules['action_conditioned_gans_tpu.utils.doctor'] = stub\n"
+        "import runpy\n"
+        f"runpy.run_path({os.path.join(repo, 'bench.py')!r}, run_name='__main__')\n"
+    )
+    env = dict(
+        os.environ,
+        ACGAN_BENCH_DEADLINE="0",
+        ACGAN_BENCH_CANARY_TIMEOUT="1",
+        ACGAN_BENCH_CANARY_RETRY="1",
+    )
+    p = subprocess.Popen(
+        [sys.executable, str(stub)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        cwd=repo,
+    )
+    try:
+        time.sleep(6)  # >> the probe+retry cycle; a give-up would have fired
+        assert p.poll() is None, (
+            f"exited rc={p.poll()} under deadline=0:\n{p.communicate()[0]}"
+        )
+    finally:
+        p.terminate()
+        out, err = p.communicate(timeout=10)
+    assert "retrying" in err, err
+    assert not out.strip(), f"no JSON line expected while waiting: {out!r}"
+
+
 def test_bench_default_deadline_fits_driver_patience():
     """The default deadline must stay below the ~11 min driver timeout
     observed in r3 (rc 124 after ~10 canary probes) with margin."""
