@@ -221,22 +221,30 @@ def _checkpoints(cfg) -> Dict[str, object]:
     ckpt_dir = os.path.join(cfg.workdir, "checkpoints")
     if not os.path.isdir(ckpt_dir):
         return {"ok": True, "skipped": f"no checkpoint dir at {ckpt_dir}"}
-    steps = sorted(
-        int(os.path.basename(p))
-        for p in glob.glob(os.path.join(ckpt_dir, "*"))
-        if os.path.basename(p).isdigit()
-    )
-    if not steps:
-        # A checkpoint dir EXISTS but holds no restorable numeric step —
-        # --resume would silently start from scratch (ADVICE r3: this
-        # branch used to report healthy, leaving the report-level gate
-        # dead).
+    entries = [os.path.basename(p) for p in glob.glob(os.path.join(ckpt_dir, "*"))]
+    steps = sorted(int(e) for e in entries if e.isdigit())
+    if steps:
+        return {"ok": True, "steps": steps[-5:], "latest": steps[-1]}
+    if not entries:
+        # CheckpointManager creates the dir eagerly at train startup
+        # (utils/checkpoint.py), so an EMPTY dir is the normal state of any
+        # fresh or pre-first-checkpoint run — healthy, with a note.
         return {
-            "ok": False,
-            "error": f"{ckpt_dir} exists but contains no numeric step dirs "
-            "— nothing is restorable; a --resume run would start over",
+            "ok": True,
+            "note": f"{ckpt_dir} exists but is empty (fresh run or before "
+            "the first checkpoint_every boundary); --resume would start over",
         }
-    return {"ok": True, "steps": steps[-5:], "latest": steps[-1]}
+    if all("orbax" in e or e.startswith("tmp") for e in entries):
+        return {"ok": True, "note": "async save in progress (orbax tmp dirs only)"}
+    # Non-empty but NO restorable numeric step — foreign/corrupt contents;
+    # --resume would silently start from scratch (ADVICE r3: this branch
+    # used to report healthy, leaving the report-level gate dead).
+    return {
+        "ok": False,
+        "error": f"{ckpt_dir} is non-empty ({entries[:5]}) but contains no "
+        "numeric step dirs — nothing is restorable; a --resume run would "
+        "start over",
+    }
 
 
 def run_doctor(

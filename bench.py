@@ -52,7 +52,18 @@ BENCH_OVERRIDES = os.environ.get(
 # touches jax: whatever stage is live when it expires, the error line
 # prints and the process exits while the driver is still listening.
 # Raise ACGAN_BENCH_DEADLINE for manual long-wait runs during an outage.
-DEADLINE = int(os.environ.get("ACGAN_BENCH_DEADLINE", "480"))
+#
+# The deadline default is MODE-aware (r4 review): the driver runs the plain
+# headline mode and waits ~11 min, but --presets sweeps five geometries
+# (256² compiles included, ~2000 s measured in r2) and --infer three — a
+# 480 s default would watchdog-kill a healthy sweep mid-flight.
+_MODE = (
+    "presets"
+    if "--presets" in sys.argv
+    else ("infer" if "--infer" in sys.argv else "headline")
+)
+_DEADLINE_DEFAULTS = {"headline": "480", "presets": "2100", "infer": "1100"}
+DEADLINE = int(os.environ.get("ACGAN_BENCH_DEADLINE", _DEADLINE_DEFAULTS[_MODE]))
 CANARY_TIMEOUT = int(os.environ.get("ACGAN_BENCH_CANARY_TIMEOUT", "90"))
 CANARY_RETRY = int(os.environ.get("ACGAN_BENCH_CANARY_RETRY", "45"))
 
@@ -68,11 +79,12 @@ def _die(stage: str, seconds: int) -> None:
                 "value": 0.0,
                 "unit": "frames/sec/chip",
                 "vs_baseline": 0.0,
+                "mode": _MODE,
                 "error": (
-                    f"{stage} exceeded {seconds}s watchdog — the TPU compile "
-                    "helper is likely wedged (known platform failure, "
-                    "CLAUDE.md rule 5); not a measurement. Rerun after the "
-                    "helper recovers."
+                    f"[{_MODE}] {stage} exceeded {seconds}s watchdog — the "
+                    "TPU tunnel/compile helper is likely wedged or out "
+                    "(known platform failure, CLAUDE.md rules 5/5b); not a "
+                    "measurement. Rerun after the helper recovers."
                 ),
             }
         ),

@@ -519,9 +519,15 @@ Reader* acgan_reader_open(const char* path) {
     close(fd);
     return nullptr;
   }
-  r->file_size = (size_t)st.st_size;
-  r->size_known = true;
-  if (st.st_size > 0) {
+  // st_size is only meaningful for regular files — a FIFO/pipe/device
+  // reports 0, and trusting it would make every record read as corruption
+  // (the same bug the stdio #else branch fixed for a failed ftell, r4
+  // review): leave size_known=false there so short freads detect EOF.
+  if (S_ISREG(st.st_mode)) {
+    r->file_size = (size_t)st.st_size;
+    r->size_known = true;
+  }
+  if (r->size_known && st.st_size > 0) {
     void* m = mmap(nullptr, r->file_size, PROT_READ, MAP_PRIVATE, fd, 0);
     if (m != MAP_FAILED) {
       madvise(m, r->file_size, MADV_SEQUENTIAL);

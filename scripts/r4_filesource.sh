@@ -59,7 +59,19 @@ kill -9 $PID 2>/dev/null; wait $PID 2>/dev/null
 echo "killed at $(date -u +%H:%M:%S); checkpoints:"; ls /tmp/r4_fs_kill/checkpoints 2>/dev/null
 # NOTE: SIGKILL on a TPU-holding process wedges the lease ~10-15 min
 # (CLAUDE.md rule 3) — that wedging is part of what this test must survive.
-sleep 660
+# Poll the subprocess canary OUT of the wedge window rather than sleeping a
+# fixed time inside it (r4 review: a fixed 660 s lands mid-window and the
+# resume leg then reads as a resume failure for platform reasons).
+sleep 300
+for i in $(seq 1 12); do
+  if timeout 150 python - <<'EOF' >/dev/null 2>&1
+from action_conditioned_gans_tpu.utils.doctor import device_probe
+r = device_probe(120)
+assert r.get("ok") and r.get("platform") != "cpu", r
+EOF
+  then echo "lease released after probe $i ($(date -u +%H:%M:%S))"; break; fi
+  echo "lease still wedged (probe $i, $(date -u +%H:%M:%S))"; sleep 60
+done
 timeout 1500 python -m action_conditioned_gans_tpu train --preset config1 \
   --workdir /tmp/r4_fs_kill --steps 4096 --set train.log_every=256 \
   --set train.sample_every=0 --set train.checkpoint_every=512 \

@@ -62,7 +62,9 @@ def last_cadence(path: str):
 def scalar_tail(path: str, key: str, n: int = 3):
     """Last n values of a JSONL/train-log scalar named `key`."""
     vals = []
-    pat = re.compile(r'"%s"\s*:\s*(-?[0-9.eE+]+)' % re.escape(key))
+    pat = re.compile(
+        r'"%s"\s*:\s*(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)' % re.escape(key)
+    )
     try:
         with open(path, "r", errors="replace") as f:
             for line in f:
@@ -139,7 +141,9 @@ def main(argv=None) -> int:
     if os.path.isdir(args.q):
         for name, keys in (
             ("c2_train.log", ("eval_psnr", "eval_psnr_ema", "g_loss", "d_loss")),
-            ("c2_eval.log", ("psnr", "ssim", "l1", "l2")),
+            # cli.py eval prints evaluate()'s eval_-prefixed keys
+            # (train/sample.py) — NOT bare psnr/ssim.
+            ("c2_eval.log", ("eval_psnr", "eval_ssim", "eval_l1", "eval_l2")),
             ("c5_train.log", ("g_loss", "d_loss", "recon")),
         ):
             path = os.path.join(args.q, name)

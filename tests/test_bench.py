@@ -160,7 +160,7 @@ def test_bench_watchdog_emits_parseable_error_before_deadline(tmp_path):
         [sys.executable, str(stub)],
         capture_output=True,
         text=True,
-        timeout=30,
+        timeout=60,
         env=env,
         cwd=repo,
     )
@@ -168,8 +168,11 @@ def test_bench_watchdog_emits_parseable_error_before_deadline(tmp_path):
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert "error" in line and line["value"] == 0.0
     assert line["metric"] == "frames_per_sec_per_chip_fused_GD_step_64px"
-    # The line printed within the deadline (+ small margin), not after it.
-    assert elapsed < 15, f"error line took {elapsed:.1f}s against a 4s deadline"
+    # The line printed within the deadline plus a startup/load margin
+    # (interpreter startup alone is ~5s on this box: the axon sitecustomize
+    # imports jax before bench.py runs), i.e. nowhere near the driver's
+    # minutes-scale patience.
+    assert elapsed < 30, f"error line took {elapsed:.1f}s against a 4s deadline"
 
 
 def test_bench_deadline_zero_retries_forever(tmp_path):
@@ -202,23 +205,40 @@ def test_bench_deadline_zero_retries_forever(tmp_path):
         ACGAN_BENCH_CANARY_TIMEOUT="1",
         ACGAN_BENCH_CANARY_RETRY="1",
     )
-    p = subprocess.Popen(
-        [sys.executable, str(stub)],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
-        text=True,
-        env=env,
-        cwd=repo,
-    )
-    try:
-        time.sleep(6)  # >> the probe+retry cycle; a give-up would have fired
-        assert p.poll() is None, (
-            f"exited rc={p.poll()} under deadline=0:\n{p.communicate()[0]}"
+    err_path = tmp_path / "stderr.txt"
+    out_path = tmp_path / "stdout.txt"
+    with open(err_path, "w") as ef, open(out_path, "w") as of:
+        p = subprocess.Popen(
+            [sys.executable, str(stub)],
+            stdout=of,
+            stderr=ef,
+            text=True,
+            env=env,
+            cwd=repo,
         )
-    finally:
-        p.terminate()
-        out, err = p.communicate(timeout=10)
-    assert "retrying" in err, err
+        try:
+            # Poll for the first retry line rather than a fixed sleep:
+            # interpreter startup alone is ~5s here (axon sitecustomize
+            # imports jax), more under suite load.
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if "retrying" in err_path.read_text():
+                    break
+                assert p.poll() is None, (
+                    f"exited rc={p.poll()} under deadline=0:\n"
+                    f"{out_path.read_text()}\n{err_path.read_text()}"
+                )
+                time.sleep(0.5)
+            # Survive a couple more probe cycles past the first retry.
+            time.sleep(3)
+            assert p.poll() is None, (
+                f"exited rc={p.poll()} under deadline=0:\n{out_path.read_text()}"
+            )
+        finally:
+            p.terminate()
+            p.wait(timeout=10)
+    assert "retrying" in err_path.read_text(), err_path.read_text()
+    out = out_path.read_text()
     assert not out.strip(), f"no JSON line expected while waiting: {out!r}"
 
 
@@ -230,6 +250,10 @@ def test_bench_default_deadline_fits_driver_patience():
     import pathlib
 
     src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
-    m = re.search(r"ACGAN_BENCH_DEADLINE\",\s*\"(\d+)\"", src)
-    assert m, "bench.py must define ACGAN_BENCH_DEADLINE with a default"
+    m = re.search(r"\"headline\":\s*\"(\d+)\"", src)
+    assert m, "bench.py must define a headline-mode deadline default"
     assert int(m.group(1)) <= 540
+    # The sweep modes must NOT inherit the headline deadline (r4 review: a
+    # healthy --presets run needs ~2000s and was watchdog-killed at 480).
+    mp = re.search(r"\"presets\":\s*\"(\d+)\"", src)
+    assert mp and int(mp.group(1)) >= 1800

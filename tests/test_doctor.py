@@ -158,15 +158,26 @@ def test_eval_data_dir_check(tmp_path):
     assert not r["ok"] and "no TFRecord files" in r["error"]
 
 
-def test_checkpoints_empty_dir_is_a_failure(tmp_path):
-    """ADVICE r3: a checkpoint dir with no restorable numeric step must
-    report ok=False (the report-level gate was dead)."""
+def test_checkpoints_gate_states(tmp_path):
+    """ADVICE r3 + r4 review: foreign/corrupt checkpoint contents must fail
+    the gate, but an EMPTY dir is the normal fresh-run state
+    (CheckpointManager mkdirs it eagerly at train startup) and must stay
+    healthy — otherwise every pre-first-checkpoint run flunks doctor."""
     cfg = dataclasses.replace(get_preset("config1"), workdir=str(tmp_path))
     # No dir at all: skipped, healthy.
     r = doctor._checkpoints(cfg)
     assert r["ok"] and "no checkpoint dir" in r["skipped"]
-    # Dir exists but holds no numeric step dirs: failure.
+    # Empty dir (fresh run, pre-first-checkpoint): healthy with a note.
     (tmp_path / "checkpoints").mkdir()
+    r = doctor._checkpoints(cfg)
+    assert r["ok"] and "fresh run" in r["note"]
+    # orbax async-save tmp dirs only: healthy (save in flight).
+    tmp_save = tmp_path / "checkpoints" / "512.orbax-checkpoint-tmp-17"
+    tmp_save.mkdir()
+    r = doctor._checkpoints(cfg)
+    assert r["ok"] and "in progress" in r["note"]
+    tmp_save.rmdir()
+    # Non-empty with no numeric step dirs: failure.
     (tmp_path / "checkpoints" / "not-a-step").mkdir()
     r = doctor._checkpoints(cfg)
     assert not r["ok"] and "no numeric step" in r["error"]

@@ -75,6 +75,30 @@ def test_native_writer_tf_reader_compat(tmp_path):
     assert np.asarray(batch["frames"]).shape == (4, 6, 16, 16, 3)
 
 
+def test_fifo_source_reads_all_clips(tmp_path):
+    """Non-regular-file sources (FIFO/pipe) report st_size=0 — the reader
+    must NOT trust that as a real size (r4 review: the mmap-build open path
+    set size_known=true unconditionally, turning every FIFO record into
+    'corruption'); short freads detect EOF instead."""
+    import os
+    import subprocess
+
+    path = str(tmp_path / "clips.tfrecord")
+    frames, actions, states = fixture_arrays()
+    write_clips_tfrecord_native(path, frames, actions, states)
+
+    fifo = str(tmp_path / "clips.fifo")
+    os.mkfifo(fifo)
+    feeder = subprocess.Popen(["/bin/sh", "-c", f"cat {path} > {fifo}"])
+    try:
+        got = list(read_clips(fifo, n_steps=6, height=16, width=16))
+    finally:
+        feeder.wait(timeout=30)
+    assert len(got) == 3
+    for i, (f, _, _) in enumerate(got):
+        np.testing.assert_array_equal(f, frames[i])
+
+
 def test_corruption_detected(tmp_path):
     path = str(tmp_path / "clips.tfrecord")
     frames, actions, states = fixture_arrays(n=1)
