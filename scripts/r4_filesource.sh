@@ -12,6 +12,7 @@
 # resume on the native source, checking the stream fast-forward.
 set -u
 cd "$(dirname "$0")/.."
+. scripts/r4_lib.sh
 LOG=${LOG:-/tmp/r4_filesource}
 DATA=${DATA:-/tmp/r4_bair_fixture}
 mkdir -p "$LOG"
@@ -32,6 +33,7 @@ ls -la "$DATA/data/"
 run_train() { # run_train <name> <workdir> <steps> <extra --set ...>
   local name=$1 wd=$2 steps=$3; shift 3
   echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  wait_up 3600 || { echo "SKIP $name (tunnel out)"; return 1; }
   rm -rf "$wd"
   timeout 1500 python -m action_conditioned_gans_tpu train --preset config1 \
     --workdir "$wd" --steps "$steps" --set train.log_every=256 \

@@ -6,11 +6,15 @@
 # the session. Results go to BASELINE.md tables by hand afterwards.
 set -u
 cd "$(dirname "$0")/.."
+. scripts/r4_lib.sh
 LOG=${LOG:-/tmp/r4_onchip}
 mkdir -p "$LOG"
 run() { # run <name> <timeout-s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  # Pause here (up to 1h) if the tunnel dropped between legs — better a
+  # late measurement than a full-timeout zero per remaining leg.
+  wait_up 3600 || { echo "SKIP $name (tunnel out)"; return 1; }
   timeout "$t" "$@" >"$LOG/$name.log" 2>&1
   echo "rc=$? -> $LOG/$name.log"; tail -2 "$LOG/$name.log"
 }

@@ -6,9 +6,11 @@
 # Strips/metrics land in $LOG; curate into docs/assets + README by hand.
 set -u
 cd "$(dirname "$0")/.."
+. scripts/r4_lib.sh
 LOG=${LOG:-/tmp/r4_quality}
 mkdir -p "$LOG"
 
+wait_up 3600 || { echo "ABORT quality runs (tunnel out)"; exit 9; }
 echo "=== config2 to PSNR plateau ($(date -u +%H:%M:%S)) ==="
 rm -rf /tmp/r4_q_c2
 timeout 5400 python -m action_conditioned_gans_tpu train --preset config2 \
@@ -27,6 +29,7 @@ timeout 900 python -m action_conditioned_gans_tpu eval --preset config2 \
   >"$LOG/c2_eval.log" 2>&1
 echo "eval rc=$?"; tail -1 "$LOG/c2_eval.log"
 
+wait_up 3600 || { echo "ABORT config5 run (tunnel out)"; exit 9; }
 echo "=== config5 geometry, stability run ($(date -u +%H:%M:%S)) ==="
 rm -rf /tmp/r4_q_c5
 timeout 5400 python -m action_conditioned_gans_tpu train --preset config5 \
