@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    # Opt-in persistent XLA compile cache (ACGAN_COMPILE_CACHE_DIR); must be
+    # configured before the first jit of any subcommand.
+    from action_conditioned_gans_tpu.utils.compile_cache import (
+        maybe_enable_compile_cache,
+    )
+
+    maybe_enable_compile_cache()
     if args.command == "profile-report":
         # Analyze a `train --profile-steps N` trace: per-op roofline-gap
         # table + per-step group summary (no TPU needed — pure proto parse).

@@ -204,6 +204,10 @@ def main() -> int:
     }
     if BENCH_OVERRIDES:
         out["overrides"] = BENCH_OVERRIDES
+    if "compile_s" in stats:
+        # Cold-compile cost; with ACGAN_COMPILE_CACHE_DIR set, a repeat run's
+        # value is the persistent-cache verdict (scripts/r4_onchip.sh probe).
+        out["compile_s"] = round(stats["compile_s"], 2)
     if "roofline_utilization_analytic" in stats:
         # The honest utilization: analytic MXU FLOPs (transpose convs priced
         # without dilation zeros) / true-barrier latency / hardware peak.
@@ -331,6 +335,14 @@ if __name__ == "__main__":
     _watchdog(DEADLINE)
     _canary()
     _STAGE[0] = "benchmark run (canary passed)"
+    # Opt-in persistent compile cache (ACGAN_COMPILE_CACHE_DIR) for every
+    # mode; after the canary so a wedged tunnel still dies with the honest
+    # error line before any jax import here.
+    from action_conditioned_gans_tpu.utils.compile_cache import (
+        maybe_enable_compile_cache,
+    )
+
+    maybe_enable_compile_cache()
     if "--presets" in sys.argv:
         sys.exit(run_presets())
     if "--infer" in sys.argv:

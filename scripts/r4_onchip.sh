@@ -57,4 +57,15 @@ run prof_c4 900 python -m action_conditioned_gans_tpu train --preset config4 \
 run prof_c4_report 300 python -m action_conditioned_gans_tpu profile-report \
   --workdir /tmp/r4_prof_c4 --json "$LOG/prof_c4.json"
 
+# 5. Persistent compile-cache probe (r4 feature, utils/compile_cache.py):
+# does the axon stack serialize/reload executables? Two short headline runs
+# sharing one cache dir — run 2's compile_s << run 1's = yes; an error on
+# run 2 = the helper rejects deserialization (record either way; the knob
+# is opt-in and this probe runs AFTER every real measurement above).
+rm -rf /tmp/r4_cc
+run cache_cold 600 env ACGAN_BENCH_DEADLINE=540 ACGAN_BENCH_STEPS=8 \
+  ACGAN_COMPILE_CACHE_DIR=/tmp/r4_cc python bench.py
+run cache_warm 600 env ACGAN_BENCH_DEADLINE=540 ACGAN_BENCH_STEPS=8 \
+  ACGAN_COMPILE_CACHE_DIR=/tmp/r4_cc python bench.py
+
 echo "=== queue done $(date -u +%H:%M:%S); file-source + quality runs are separate scripts ==="
