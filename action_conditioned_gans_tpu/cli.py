@@ -117,6 +117,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="capture a jax.profiler trace of N training steps into <workdir>/profile",
     )
     p.add_argument(
+        "--format",
+        choices=["npz", "stablehlo"],
+        default="npz",
+        help="export: 'npz' = weights+config archive (Predictor.from_npz); "
+        "'stablehlo' = self-contained AOT program via jax.export "
+        "(aot.AotPredictor — no model code in the serving container)",
+    )
+    p.add_argument(
+        "--rollout-length",
+        type=int,
+        default=0,
+        help="export --format stablehlo: also export a T-step autoregressive "
+        "rollout program at this horizon (0 = predict-only)",
+    )
+    p.add_argument(
         "--multihost",
         action="store_true",
         help="initialize the multi-host JAX runtime (jax.distributed) — run "
@@ -284,6 +299,29 @@ def main(argv=None) -> int:
                 parser.error("--ema needs a checkpoint trained with train.ema_decay > 0")
             state = state.replace(g_params=state.g_ema)
         if args.command == "export":
+            if args.format == "stablehlo":
+                # Self-contained AOT program (weights baked in, symbolic
+                # batch, cpu+tpu lowerings): loads with jax alone via
+                # aot.AotPredictor — not even the model code ships.
+                from action_conditioned_gans_tpu.aot import export_stablehlo
+
+                out = args.out or f"{cfg.workdir}/generator.aot"
+                meta = export_stablehlo(
+                    cfg, state.g_params, out, rollout_length=args.rollout_length
+                )
+                print(
+                    json.dumps(
+                        {
+                            "exported": out,
+                            "ema": bool(args.ema),
+                            "format": "stablehlo",
+                            "platforms": meta["platforms"],
+                            "rollout_length": meta["rollout_length"],
+                            "bytes": meta["bytes"],
+                        }
+                    )
+                )
+                return 0
             # Portable serving artifact: generator weights + embedded
             # ModelConfig as one .npz (loads with numpy alone via
             # Predictor.from_npz — no orbax/TF in the serving container).
