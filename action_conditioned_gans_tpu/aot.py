@@ -187,9 +187,16 @@ class AotPredictor:
     wrapped in ``jax.jit`` so repeated serving at one batch size hits the
     executable cache (and ``ACGAN_COMPILE_CACHE_DIR`` persists it across
     processes).
+
+    Multi-chip: pass ``mesh`` to shard serving batches over the mesh's
+    first axis — GSPMD propagates the sharding through the deserialized
+    program and XLA inserts the collectives, same as the live Predictor's
+    DP path. (Tensor parallelism is NOT available here: the weights are
+    constants inside the program, so they replicate per chip. TP serving
+    of a >HBM model is the live ``infer.Predictor(mesh=...)``'s job.)
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, mesh=None):
         with zipfile.ZipFile(path) as z:
             self.meta = json.loads(z.read(_META).decode())
             if self.meta.get("format_version") != FORMAT_VERSION:
@@ -205,6 +212,12 @@ class AotPredictor:
             )
         self.state_dim = int(self.meta["state_dim"])
         self.rollout_length = int(self.meta["rollout_length"])
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_size = mesh.shape[mesh.axis_names[0]]
+            self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
 
     def _args(self, *arrays, state):
         arrays = tuple(jnp.asarray(a, jnp.float32) for a in arrays)
@@ -217,6 +230,15 @@ class AotPredictor:
             arrays += (jnp.asarray(state, jnp.float32),)
         elif state is not None:
             raise ValueError("artifact was exported without a state input")
+        if self.mesh is not None:
+            if arrays[0].shape[0] % self._data_size != 0:
+                raise ValueError(
+                    f"batch {arrays[0].shape[0]} is not divisible by the mesh "
+                    f"data axis ({self._data_size}); pad or resize the batch"
+                )
+            arrays = tuple(
+                jax.device_put(a, self._batch_sharding) for a in arrays
+            )
         return arrays
 
     def predict(self, frame, action, state=None):

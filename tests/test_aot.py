@@ -141,6 +141,35 @@ def test_error_paths(tmp_path):
         AotPredictor(bad)
 
 
+def test_mesh_dp_serving_matches_single_device(tmp_path):
+    """AotPredictor(mesh=...) shards serving batches over the data axis;
+    outputs match the unmeshed artifact and actually span all devices."""
+    from action_conditioned_gans_tpu.config import MeshConfig
+    from action_conditioned_gans_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_config(str(tmp_path))
+    state = init_state(cfg, jax.random.PRNGKey(4))
+    path = str(tmp_path / "g.aot")
+    export_stablehlo(cfg, state.g_params, path, rollout_length=2)
+
+    single = AotPredictor(path)
+    meshed = AotPredictor(path, mesh=make_mesh(MeshConfig(data=8, model=1)))
+    frame, action, _ = _inputs(8)
+    got = meshed.predict(frame, action)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(single.predict(frame, action)), atol=1e-5
+    )
+    frame, actions, _ = _inputs(8, t=2)
+    np.testing.assert_allclose(
+        np.asarray(meshed.rollout(frame, actions)),
+        np.asarray(single.rollout(frame, actions)),
+        atol=1e-5,
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        meshed.predict(*_inputs(3)[:2])
+
+
 def test_cli_export_stablehlo(tmp_path, capsys):
     from action_conditioned_gans_tpu.cli import main
     from action_conditioned_gans_tpu.utils.checkpoint import CheckpointManager
