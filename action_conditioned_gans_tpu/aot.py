@@ -43,11 +43,9 @@ import io
 import json
 import os
 import zipfile
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 FORMAT_VERSION = 1
 _META = "meta.json"
@@ -74,35 +72,28 @@ def _predict_fn(cfg, g_params):
 
 
 def _rollout_fn(cfg, g_params):
-    """T-step autoregressive rollout (T fixed by the actions shape)."""
+    """T-step autoregressive rollout (T fixed by the actions shape).
+
+    The scan body is ``infer.rollout_scan`` — the SAME implementation the
+    live Predictor serves, so the two paths cannot diverge.
+    """
+    from action_conditioned_gans_tpu.infer import rollout_scan
     from action_conditioned_gans_tpu.models import Generator
 
     gen = Generator(cfg.model)
 
-    def body(with_state):
-        def step(prev, xs):
-            if with_state:
-                action, state = xs
-            else:
-                (action,) = xs
-                state = None
-            pred = gen.apply({"params": g_params}, prev, action, state)
-            return pred.astype(prev.dtype), pred
-
-        return step
+    def apply_fn(prev, action, state):
+        return gen.apply({"params": g_params}, prev, action, state)
 
     if cfg.model.state_dim > 0:
 
         def rollout(frame0, actions, states):
-            xs = (jnp.moveaxis(actions, 0, 1), jnp.moveaxis(states, 0, 1))
-            _, preds = lax.scan(body(True), frame0, xs)
-            return jnp.moveaxis(preds, 0, 1)
+            return rollout_scan(apply_fn, frame0, actions, states)
 
     else:
 
         def rollout(frame0, actions):
-            _, preds = lax.scan(body(False), frame0, (jnp.moveaxis(actions, 0, 1),))
-            return jnp.moveaxis(preds, 0, 1)
+            return rollout_scan(apply_fn, frame0, actions, None)
 
     return rollout
 
@@ -134,9 +125,10 @@ def export_stablehlo(
     (b,) = jax.export.symbolic_shape("b")
     frame = jax.ShapeDtypeStruct((b, m.image_size, m.image_size, m.image_channels), jnp.float32)
     action = jax.ShapeDtypeStruct((b, m.action_dim), jnp.float32)
-    state = jax.ShapeDtypeStruct((b, m.state_dim), jnp.float32)
 
-    args = (frame, action) + ((state,) if m.state_dim > 0 else ())
+    args = (frame, action)
+    if m.state_dim > 0:
+        args += (jax.ShapeDtypeStruct((b, m.state_dim), jnp.float32),)
     exp_predict = jax.export.export(
         jax.jit(_predict_fn(cfg, g_params)), platforms=list(platforms)
     )(*args)
@@ -155,11 +147,16 @@ def export_stablehlo(
     if rollout_length > 0:
         # The rollout reuses the SAME symbolic scope as `b` above so the
         # batch dims unify; T is concrete.
-        actions_T = jax.ShapeDtypeStruct(
-            (b, rollout_length, m.action_dim), jnp.float32
+        rargs = (
+            frame,
+            jax.ShapeDtypeStruct((b, rollout_length, m.action_dim), jnp.float32),
         )
-        states_T = jax.ShapeDtypeStruct((b, rollout_length, m.state_dim), jnp.float32)
-        rargs = (frame, actions_T) + ((states_T,) if m.state_dim > 0 else ())
+        if m.state_dim > 0:
+            rargs += (
+                jax.ShapeDtypeStruct(
+                    (b, rollout_length, m.state_dim), jnp.float32
+                ),
+            )
         exp_rollout = jax.export.export(
             jax.jit(_rollout_fn(cfg, g_params)), platforms=list(platforms)
         )(*rargs)
@@ -173,8 +170,12 @@ def export_stablehlo(
             z.writestr(_ROLLOUT, exp_rollout.serialize())
         z.writestr(_META, json.dumps(meta, indent=1))
     data = buf.getvalue()
-    with open(path, "wb") as f:
+    # Atomic publish: an interrupted export must not leave a truncated zip
+    # at the destination for a later AotPredictor to trip over.
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, path)
     meta["bytes"] = len(data)
     return meta
 
@@ -213,11 +214,6 @@ class AotPredictor:
         self.state_dim = int(self.meta["state_dim"])
         self.rollout_length = int(self.meta["rollout_length"])
         self.mesh = mesh
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            self._data_size = mesh.shape[mesh.axis_names[0]]
-            self._batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
 
     def _args(self, *arrays, state):
         arrays = tuple(jnp.asarray(a, jnp.float32) for a in arrays)
@@ -231,14 +227,11 @@ class AotPredictor:
         elif state is not None:
             raise ValueError("artifact was exported without a state input")
         if self.mesh is not None:
-            if arrays[0].shape[0] % self._data_size != 0:
-                raise ValueError(
-                    f"batch {arrays[0].shape[0]} is not divisible by the mesh "
-                    f"data axis ({self._data_size}); pad or resize the batch"
-                )
-            arrays = tuple(
-                jax.device_put(a, self._batch_sharding) for a in arrays
-            )
+            # Same DP placement (and divisibility contract) as the live
+            # Predictor — one implementation, infer.shard_batches.
+            from action_conditioned_gans_tpu.infer import shard_batches
+
+            arrays = tuple(shard_batches(self.mesh, *arrays))
         return arrays
 
     def predict(self, frame, action, state=None):
@@ -255,5 +248,10 @@ class AotPredictor:
             raise ValueError(
                 f"artifact rollout horizon is {self.rollout_length}, "
                 f"got actions with T={actions.shape[1]}"
+            )
+        if states is not None and states.shape[1] != self.rollout_length:
+            raise ValueError(
+                f"artifact rollout horizon is {self.rollout_length}, "
+                f"got states with T={states.shape[1]}"
             )
         return self._rollout(*self._args(frame0, actions, state=states))

@@ -299,6 +299,14 @@ def main(argv=None) -> int:
                 parser.error("--ema needs a checkpoint trained with train.ema_decay > 0")
             state = state.replace(g_params=state.g_ema)
         if args.command == "export":
+            if args.rollout_length > 0 and args.format != "stablehlo":
+                # Silently writing an npz (which has no rollout program)
+                # would deploy an artifact missing the horizon the user
+                # asked for.
+                parser.error(
+                    "--rollout-length requires --format stablehlo "
+                    "(the npz archive holds weights, not programs)"
+                )
             if args.format == "stablehlo":
                 # Self-contained AOT program (weights baked in, symbolic
                 # batch, cpu+tpu lowerings): loads with jax alone via

@@ -54,6 +54,57 @@ def export_generator(cfg: Config, g_params, path: str) -> None:
         np.savez(f, **arrays)
 
 
+def shard_batches(mesh, *arrays):
+    """Shard batch-leading arrays over ``mesh``'s first (data) axis.
+
+    Shared by the live :class:`Predictor` and the AOT
+    :class:`~action_conditioned_gans_tpu.aot.AotPredictor` so the DP serving
+    contract (divisibility check included) has exactly one implementation.
+    ``None`` entries pass through.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+    size = mesh.shape[data_axis]
+    sharding = NamedSharding(mesh, P(data_axis))
+    placed = []
+    for a in arrays:
+        if a is None:
+            placed.append(None)
+            continue
+        if a.shape[0] % size != 0:
+            raise ValueError(
+                f"batch {a.shape[0]} is not divisible by the mesh data "
+                f"axis ({size}); pad or resize the batch"
+            )
+        placed.append(jax.device_put(a, sharding))
+    return placed
+
+
+def rollout_scan(apply_fn, frame0, actions, states=None):
+    """Autoregressive rollout: scan ``apply_fn(prev, action, state)`` over T.
+
+    ``actions`` is (B, T, A); ``states`` (B, T, S) or None; returns
+    (B, T, H, W, C). The single rollout-body implementation behind both the
+    live and the AOT predictor (SURVEY.md §4.2 multi-step sampling).
+    """
+    actions_tm = jnp.moveaxis(actions, 0, 1)  # (T, B, A)
+    states_tm = jnp.moveaxis(states, 0, 1) if states is not None else None
+
+    def step(prev, xs):
+        if states_tm is None:
+            (action,) = xs
+            state = None
+        else:
+            action, state = xs
+        pred = apply_fn(prev, action, state)
+        return pred.astype(prev.dtype), pred
+
+    xs = (actions_tm,) if states_tm is None else (actions_tm, states_tm)
+    _, preds = lax.scan(step, frame0, xs)
+    return jnp.moveaxis(preds, 0, 1)  # (B, T, ...)
+
+
 class Predictor:
     """Jitted generator inference over restored (or given) parameters.
 
@@ -73,9 +124,8 @@ class Predictor:
 
             from action_conditioned_gans_tpu.parallel.gspmd import tp_param_pspec
 
-            data_axis, model_axis = mesh.axis_names[0], mesh.axis_names[-1]
+            model_axis = mesh.axis_names[-1]
             model_size = mesh.shape[model_axis] if len(mesh.axis_names) > 1 else 1
-            self._data_size = mesh.shape[data_axis]
 
             def param_sharding(leaf):
                 spec = (
@@ -88,7 +138,6 @@ class Predictor:
             g_params = jax.device_put(
                 g_params, jax.tree_util.tree_map(param_sharding, g_params)
             )
-            self._batch_sharding = NamedSharding(mesh, P(data_axis))
         self.g_params = g_params
         self._gen = Generator(cfg.model)
 
@@ -98,24 +147,10 @@ class Predictor:
 
         @jax.jit
         def _rollout(params, frame0, actions, states):
-            b = frame0.shape[0]
-            actions_tm = jnp.moveaxis(actions, 0, 1)  # (T, B, A)
-            states_tm = (
-                jnp.moveaxis(states, 0, 1) if states is not None else None
-            )
+            def apply_fn(prev, action, state):
+                return self._gen.apply({"params": params}, prev, action, state)
 
-            def step(prev, xs):
-                if states_tm is None:
-                    (action,) = xs
-                    state = None
-                else:
-                    action, state = xs
-                pred = self._gen.apply({"params": params}, prev, action, state)
-                return pred.astype(prev.dtype), pred
-
-            xs = (actions_tm,) if states_tm is None else (actions_tm, states_tm)
-            _, preds = lax.scan(step, frame0, xs)
-            return jnp.moveaxis(preds, 0, 1)  # (B, T, ...)
+            return rollout_scan(apply_fn, frame0, actions, states)
 
         self._predict = _predict
         self._rollout = _rollout
@@ -238,18 +273,7 @@ class Predictor:
         """Shard batch-leading inputs over the data axis (no-op unmeshed)."""
         if self.mesh is None:
             return arrays
-        placed = []
-        for a in arrays:
-            if a is None:
-                placed.append(None)
-                continue
-            if a.shape[0] % self._data_size != 0:
-                raise ValueError(
-                    f"batch {a.shape[0]} is not divisible by the mesh data "
-                    f"axis ({self._data_size}); pad or resize the batch"
-                )
-            placed.append(jax.device_put(a, self._batch_sharding))
-        return placed
+        return shard_batches(self.mesh, *arrays)
 
     # -- API ------------------------------------------------------------------
     def predict(self, frame, action, state=None):

@@ -50,8 +50,15 @@ def maybe_enable_compile_cache(path: Optional[str] = None) -> Optional[str]:
     jax.config.update("jax_compilation_cache_dir", path)
     # Default floor of 1 s skips tiny programs (cache I/O would dominate);
     # override to 0 to cache everything (tests do, so CPU toys persist).
-    jax.config.update(
-        "jax_persistent_cache_min_compile_time_secs",
-        float(os.environ.get(_ENV_MIN_SECS, "1.0")),
-    )
+    raw_min = os.environ.get(_ENV_MIN_SECS, "1.0")
+    try:
+        min_secs = float(raw_min)
+    except ValueError as e:
+        # Name the knob: this runs before every subcommand (and in bench.py
+        # before the first jit), so a bare float('') traceback would be the
+        # only clue otherwise.
+        raise ValueError(
+            f"{_ENV_MIN_SECS}={raw_min!r} is not a number (seconds)"
+        ) from e
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
     return path

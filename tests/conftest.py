@@ -17,6 +17,13 @@ if not _TPU_PARITY:
         ).strip()
 # Keep CPU test runs deterministic and quiet.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# Tests measure COLD compiles and call cli.main in-process: an ambient
+# ACGAN_COMPILE_CACHE_DIR from the developer's shell (RUNBOOK advice) would
+# otherwise flip the persistent cache on for the whole pytest process and
+# write CPU-toy executables into the user's real cache dir. Tests that want
+# the cache (test_compile_cache.py) set the env explicitly in subprocesses.
+os.environ.pop("ACGAN_COMPILE_CACHE_DIR", None)
+os.environ.pop("ACGAN_COMPILE_CACHE_MIN_SECS", None)
 
 import jax  # noqa: E402
 

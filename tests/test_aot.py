@@ -106,6 +106,10 @@ def test_state_conditioned_artifact(tmp_path):
     # The state input is part of the exported signature, not optional.
     with pytest.raises(ValueError, match="state"):
         p.predict(frame, action)
+    # A wrong STATES horizon gets the same friendly error as actions
+    # (previously it surfaced as an opaque shape-refinement failure).
+    with pytest.raises(ValueError, match="horizon.*states"):
+        p.rollout(frame, actions, sts[:, :1])
 
 
 def test_error_paths(tmp_path):
@@ -126,6 +130,10 @@ def test_error_paths(tmp_path):
     p2 = AotPredictor(path2)
     with pytest.raises(ValueError, match="horizon"):
         p2.rollout(frame, jnp.zeros((2, 3, 4)))  # exported T=4, called T=3
+    # No .tmp staging file left behind by the atomic publish.
+    import os as _os
+
+    assert not _os.path.exists(path2 + ".tmp")
 
     # Unknown format version refuses loudly instead of misparsing.
     bad = str(tmp_path / "bad.aot")
@@ -189,6 +197,16 @@ def test_cli_export_stablehlo(tmp_path, capsys):
         "train.batch_size=2",
     ):
         overrides += ["--set", o]
+    # --rollout-length with the npz format would silently drop the rollout
+    # program the user asked for: refuse instead.
+    with pytest.raises(SystemExit) as exc:
+        main(
+            ["export", "--preset", "config1", "--workdir", str(tmp_path),
+             "--rollout-length", "2"] + overrides
+        )
+    assert exc.value.code == 2
+    capsys.readouterr()
+
     out = str(tmp_path / "generator.aot")
     rc = main(
         ["export", "--preset", "config1", "--workdir", str(tmp_path),

@@ -71,6 +71,22 @@ def test_cache_persists_across_processes(tmp_path):
     assert v1 == v2
 
 
+def test_bad_min_secs_names_the_env_var(tmp_path, monkeypatch):
+    """A malformed ACGAN_COMPILE_CACHE_MIN_SECS must fail naming the knob —
+    this runs before every subcommand, so a bare float('') traceback would
+    be the only clue otherwise."""
+    import pytest
+
+    from action_conditioned_gans_tpu.utils.compile_cache import (
+        maybe_enable_compile_cache,
+    )
+
+    monkeypatch.setenv("ACGAN_COMPILE_CACHE_DIR", str(tmp_path / "c"))
+    monkeypatch.setenv("ACGAN_COMPILE_CACHE_MIN_SECS", "")
+    with pytest.raises(ValueError, match="ACGAN_COMPILE_CACHE_MIN_SECS"):
+        maybe_enable_compile_cache()
+
+
 def test_knob_off_is_inert():
     from action_conditioned_gans_tpu.utils.compile_cache import (
         maybe_enable_compile_cache,
