@@ -261,6 +261,31 @@ class TrainConfig:
     # Changes the checkpointed optimizer-state dtypes (resume across a
     # dtype switch restores into the NEW dtype template).
     adam_moment_dtype: str = "float32"
+    # Learning-rate schedule applied to BOTH optimizers (each scaled from
+    # its own peak g_lr / d_lr). The reference genre trains at a fixed Adam
+    # lr, so "constant" (with warmup_steps=0) is the default and keeps the
+    # optimizer-state pytree bit-identical to a plain float lr; any other
+    # setting tracks the step count inside the optimizer state (optax
+    # schedule), which changes the checkpointed layout.
+    #   "constant": lr = peak (after warmup)
+    #   "linear":   lr decays linearly peak -> lr_end_factor*peak over
+    #               lr_decay_steps (then holds)
+    #   "cosine":   half-cosine peak -> lr_end_factor*peak over
+    #               lr_decay_steps (then holds)
+    lr_schedule: str = "constant"
+    # Linear warmup 0 -> peak over this many steps (0 disables).
+    warmup_steps: int = 0
+    # Decay horizon for "linear"/"cosine", measured AFTER warmup;
+    # 0 = total_steps - warmup_steps.
+    lr_decay_steps: int = 0
+    # Final lr as a fraction of peak for "linear"/"cosine".
+    lr_end_factor: float = 0.0
+    # Clip each optimizer's gradient to this global L2 norm BEFORE Adam
+    # (optax.clip_by_global_norm; G and D clipped independently, matching
+    # their disjoint flows). 0 disables — and keeps the optimizer-state
+    # pytree identical to the unclipped layout; > 0 wraps the chain and
+    # changes the checkpointed structure.
+    grad_clip_norm: float = 0.0
 
     # Rollout training (BASELINE.json configs 2, 4, 5): number of
     # autoregressive prediction steps per example. 1 = single-step GAN.
@@ -315,6 +340,11 @@ class TrainConfig:
     scan_unroll: int = 1
     # Debug config (SURVEY.md §6): surface NaNs at the op that produced them.
     debug_nans: bool = False
+    # Add g_grad_norm / d_grad_norm (post-pmean, pre-clip global L2) to the
+    # step metrics — the observability for tuning grad_clip_norm. Off by
+    # default: the norms force a full param-tree reduction into the metrics
+    # path every step.
+    log_grad_norms: bool = False
 
     seed: int = 0
     log_every: int = 100

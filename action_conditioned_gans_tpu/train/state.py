@@ -84,6 +84,38 @@ def scale_by_adam_moment_dtype(
     return optax.GradientTransformation(init, update)
 
 
+def make_lr_schedule(t, peak_lr: float):
+    """Resolve TrainConfig's schedule knobs to an lr for ``peak_lr``.
+
+    Returns the plain float when the config asks for constant-no-warmup —
+    the default — so the stock optimizer-state pytree (no schedule counter)
+    is preserved bit-for-bit; otherwise an ``optax`` schedule callable.
+    The decay horizon starts AFTER warmup and the final value holds
+    (training past ``warmup + decay`` steps continues at the floor).
+    """
+    if t.lr_schedule not in ("constant", "linear", "cosine"):
+        raise ValueError(
+            f"unknown lr_schedule {t.lr_schedule!r} "
+            "(expected 'constant', 'linear', or 'cosine')"
+        )
+    if t.warmup_steps == 0 and t.lr_schedule == "constant":
+        return peak_lr
+    decay = t.lr_decay_steps or max(t.total_steps - t.warmup_steps, 1)
+    end = peak_lr * t.lr_end_factor
+    if t.lr_schedule == "constant":
+        body = optax.constant_schedule(peak_lr)
+    elif t.lr_schedule == "linear":
+        body = optax.linear_schedule(peak_lr, end, decay)
+    else:
+        body = optax.cosine_decay_schedule(
+            peak_lr, decay, alpha=t.lr_end_factor
+        )
+    if t.warmup_steps == 0:
+        return body
+    warmup = optax.linear_schedule(0.0, peak_lr, t.warmup_steps)
+    return optax.join_schedules([warmup, body], [t.warmup_steps])
+
+
 def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
     t = cfg.train
     # optax.flatten turns the ~50 per-tensor Adam fusions into ONE fused
@@ -94,7 +126,8 @@ def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.Gr
     flat = t.flatten_optimizer and cfg.mesh.model <= 1
     moment_dtype = jnp.dtype(t.adam_moment_dtype)
 
-    def tx(lr: float) -> optax.GradientTransformation:
+    def tx(peak_lr: float) -> optax.GradientTransformation:
+        lr = make_lr_schedule(t, peak_lr)
         if moment_dtype == jnp.float32:
             inner = optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2)
         else:
@@ -102,7 +135,15 @@ def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.Gr
                 scale_by_adam_moment_dtype(
                     t.adam_b1, t.adam_b2, 1e-8, moment_dtype
                 ),
-                optax.scale(-lr),
+                # Negates; tracks its own count when lr is a schedule.
+                optax.scale_by_learning_rate(lr),
+            )
+        if t.grad_clip_norm > 0:
+            # Clip BEFORE Adam so the moments see the clipped gradient
+            # (the standard placement). G and D are chained independently —
+            # their flows are disjoint by construction (module docstring).
+            inner = optax.chain(
+                optax.clip_by_global_norm(t.grad_clip_norm), inner
             )
         return optax.flatten(inner) if flat else inner
 

@@ -308,6 +308,14 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             "d_fake_acc": _pmean(fake_acc),
             "ss_prob": ss_prob,
         }
+        if t.log_grad_norms:
+            # Post-pmean, PRE-clip global L2 norms — what the optimizer
+            # chain receives; the observability for tuning grad_clip_norm
+            # (d's is the LAST disc_steps iteration's, matching d_loss).
+            import optax
+
+            metrics["g_grad_norm"] = optax.global_norm(g_grads)
+            metrics["d_grad_norm"] = optax.global_norm(d_grads)
         return new_state, metrics
 
     return train_step
