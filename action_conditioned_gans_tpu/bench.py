@@ -198,6 +198,94 @@ def run_infer_bench(
     return out
 
 
+def run_serving_bench(
+    cfg: Config,
+    batch: Optional[int] = None,
+    rollout: Optional[int] = None,
+    windows: int = 3,
+    calls_per_window: int = 4,
+) -> Dict[str, float]:
+    """End-to-end serving latency: live ``Predictor.rollout`` vs the AOT
+    artifact's ``AotPredictor.rollout``.
+
+    Unlike :func:`run_infer_bench` (device-resident scan + scalar reduce,
+    which isolates compute), these timings INCLUDE host→device input
+    placement and the full predicted-frames fetch — the latency a serving
+    deployment actually observes per request. Both paths execute the same
+    program (``infer.rollout_scan`` is the single rollout body), so their
+    delta isolates ``jax.export`` artifact overhead, expected ≈ 0.
+    """
+    import os
+    import tempfile
+
+    from action_conditioned_gans_tpu.aot import AotPredictor, export_stablehlo
+    from action_conditioned_gans_tpu.infer import Predictor
+    from action_conditioned_gans_tpu.models import Generator
+
+    m = cfg.model
+    b = batch or cfg.train.batch_size
+    t = rollout or max(cfg.train.rollout_length, 1)
+    gen = Generator(m)
+    kf, ka, ks, kp = jax.random.split(jax.random.PRNGKey(0), 4)
+    frame0 = np.asarray(
+        jnp.tanh(
+            jax.random.normal(
+                kf, (b, m.image_size, m.image_size, m.image_channels), jnp.float32
+            )
+        )
+    )
+    actions = np.asarray(jax.random.normal(ka, (b, t, m.action_dim), jnp.float32))
+    states = (
+        np.asarray(jax.random.normal(ks, (b, t, m.state_dim), jnp.float32))
+        if m.state_dim
+        else None
+    )
+    params = gen.init(
+        kp,
+        jnp.asarray(frame0),
+        jnp.asarray(actions[:, 0]),
+        jnp.asarray(states[:, 0]) if states is not None else None,
+    )["params"]
+
+    live = Predictor(cfg, params)
+
+    def timeit(call) -> float:
+        np.asarray(call())  # compile + warm (full fetch = the barrier)
+
+        def window() -> float:
+            t0 = time.perf_counter()
+            for _ in range(calls_per_window):
+                out = np.asarray(call())
+            el = time.perf_counter() - t0
+            del out
+            return el / calls_per_window
+
+        window()  # extra warm window
+        return float(np.percentile([window() for _ in range(windows)], 50))
+
+    out: Dict[str, float] = {
+        "config": cfg.name,
+        "image_size": m.image_size,
+        "batch_size": b,
+        "rollout_length": t,
+        "device": jax.devices()[0].device_kind,
+    }
+    live_s = timeit(lambda: live.rollout(frame0, actions, states))
+    out["serving_live_ms"] = live_s * 1e3
+    out["serving_live_fps"] = b * t / live_s
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "gen.aot")
+        meta = export_stablehlo(cfg, params, path, rollout_length=t)
+        out["artifact_bytes"] = meta["bytes"]
+        aot = AotPredictor(path)
+        aot_s = timeit(lambda: aot.rollout(frame0, actions, states))
+    out["serving_aot_ms"] = aot_s * 1e3
+    out["serving_aot_fps"] = b * t / aot_s
+    out["aot_overhead_pct"] = (aot_s / live_s - 1.0) * 100.0
+    return out
+
+
 def run_bench(cfg: Config, steps: int = 30, warmup: int = 5) -> Dict[str, float]:
     spc = max(cfg.train.steps_per_call, 1)
     mesh, state, step_fn = build_step_and_state(cfg)

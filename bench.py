@@ -297,7 +297,7 @@ def run_infer() -> int:
     autoregressive rollout — at two representative geometries."""
     import dataclasses
 
-    from action_conditioned_gans_tpu.bench import run_infer_bench
+    from action_conditioned_gans_tpu.bench import run_infer_bench, run_serving_bench
     from action_conditioned_gans_tpu.config import get_preset
 
     results = {}
@@ -320,6 +320,21 @@ def run_infer() -> int:
             f"[infer] {name}: {results[name].get('infer_fps_per_chip')} f/s single-step, "
             f"{results[name].get('rollout_fps_per_chip')} f/s rollout"
         )
+    # End-to-end serving latency (inputs placed + frames fetched per call)
+    # at the headline geometry, live Predictor vs the AOT artifact — the
+    # request latency a deployment sees, and the artifact-overhead check.
+    try:
+        stats = run_serving_bench(get_preset("config1"), batch=BENCH_BATCH, rollout=10)
+        results["serving_config1"] = {
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in stats.items()
+        }
+        print(
+            f"[serving] config1: live {stats['serving_live_ms']:.1f} ms, "
+            f"aot {stats['serving_aot_ms']:.1f} ms per rollout call "
+            f"(overhead {stats['aot_overhead_pct']:+.1f}%)"
+        )
+    except Exception as e:
+        results["serving_config1"] = {"error": f"{type(e).__name__}: {e}"}
     with open(os.path.join(REPO, "BENCH_INFER.json"), "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(json.dumps({"infer_recorded": list(results)}))

@@ -124,6 +124,30 @@ def test_run_infer_bench_smoke():
     assert out["batch_size"] == 2 and out["rollout_length"] == 2
 
 
+def test_run_serving_bench_smoke():
+    """End-to-end serving latency (live Predictor vs AOT artifact) runs at
+    tiny geometry; both legs report positive latencies and the artifact
+    byte count from the export meta."""
+    from action_conditioned_gans_tpu.bench import run_serving_bench
+    from action_conditioned_gans_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    cfg = Config(
+        name="tiny",
+        model=ModelConfig(
+            image_size=16, g_levels=2, g_base_channels=8, d_levels=2,
+            d_base_channels=8, group_norm_groups=4, compute_dtype="float32",
+            state_dim=3,
+        ),
+        data=DataConfig(seq_len=3),
+        train=TrainConfig(batch_size=2, rollout_length=2),
+    )
+    out = run_serving_bench(cfg, windows=1, calls_per_window=2)
+    assert out["serving_live_ms"] > 0
+    assert out["serving_aot_ms"] > 0
+    assert out["artifact_bytes"] > 0
+    assert out["serving_aot_fps"] > 0
+
+
 def test_bench_watchdog_emits_parseable_error_before_deadline(tmp_path):
     """VERDICT r3 missing #1: with the tunnel wedged, bench.py must print
     ONE parseable honest-error JSON line BEFORE the driver's timeout. Run
