@@ -59,6 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
             "make-data",
             "profile-report",
             "doctor",
+            "serve",
         ],
     )
     p.add_argument("--preset", default="config1", help="BASELINE.json preset name")
@@ -130,6 +131,21 @@ def build_parser() -> argparse.ArgumentParser:
         default=0,
         help="export --format stablehlo: also export a T-step autoregressive "
         "rollout program at this horizon (0 = predict-only)",
+    )
+    p.add_argument(
+        "--artifact",
+        default=None,
+        help="serve: path to an exported artifact — .aot (AOT StableHLO "
+        "program, no model code needed) or .npz (portable weights archive); "
+        "omitted = restore the latest checkpoint from --workdir",
+    )
+    p.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="serve: bind address (default loopback only)",
+    )
+    p.add_argument(
+        "--port", type=int, default=8700, help="serve: TCP port (0 = any free)"
     )
     p.add_argument(
         "--multihost",
@@ -248,6 +264,16 @@ def main(argv=None) -> int:
             resume=not args.no_resume,
             profile_steps=args.profile_steps,
         )
+        return 0
+
+    if args.command == "serve":
+        # HTTP inference endpoint (serve.py): /healthz, /predict, /rollout
+        # over an AOT artifact, an npz archive, or the latest checkpoint.
+        from action_conditioned_gans_tpu.serve import build_predictor, serve_forever
+
+        if not args.artifact and not (args.workdir or cfg.workdir):
+            parser.error("serve needs --artifact or --workdir")
+        serve_forever(build_predictor(args, cfg), args.host, args.port)
         return 0
 
     if args.command in ("sample", "eval", "export"):

@@ -1,0 +1,221 @@
+"""Minimal HTTP inference server over a Predictor or an AOT artifact.
+
+The reference's deployment story ends at ``sess.run(G, feed_dict=...)`` on a
+restored checkpoint (SURVEY.md §4.2); a production deployment puts a request
+loop in front of the compiled program. This is the rebuild's stdlib-only
+equivalent — no web framework, no extra deps:
+
+* ``GET /healthz``  → JSON: model geometry, serving backend, device kind.
+* ``POST /predict`` → body npz ``{frame (B,H,W,C), action (B,A)[, state]}``,
+  response npz ``{frames (B,H,W,C)}``.
+* ``POST /rollout`` → body npz ``{frame0, actions (B,T,A)[, states]}``,
+  response npz ``{frames (B,T,H,W,C)}``.
+
+Arrays travel as ``np.savez`` archives (``application/x-npz``) — lossless,
+zero-dependency on both ends (`client_predict`/`client_rollout` below wrap
+``urllib``). Shape/horizon errors come back as 400s with the predictor's own
+message; the platform's one-TPU-process rule (CLAUDE.md rule 2) is honored by
+serializing all device work through one lock while the threaded server keeps
+slow readers from blocking health checks.
+
+Works identically over the live jit path (``infer.Predictor``) and the
+self-contained artifact (``aot.AotPredictor``) — both expose
+``predict``/``rollout``, and ``build_predictor`` picks by CLI flags.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+_NPZ = "application/x-npz"
+
+
+def _load_npz(body: bytes) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _dump_npz(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def predictor_meta(predictor) -> Dict[str, Any]:
+    """Geometry/backend facts for /healthz, for either predictor kind."""
+    import jax
+
+    meta: Dict[str, Any] = {
+        "device": jax.devices()[0].device_kind,
+        "backend": type(predictor).__name__,
+    }
+    if hasattr(predictor, "meta"):  # AotPredictor: exported meta.json
+        meta.update(
+            {
+                k: predictor.meta[k]
+                for k in (
+                    "image_size",
+                    "image_channels",
+                    "action_dim",
+                    "state_dim",
+                    "rollout_length",
+                )
+                if k in predictor.meta
+            }
+        )
+    else:  # live Predictor: the config is authoritative
+        m = predictor.cfg.model
+        meta.update(
+            image_size=m.image_size,
+            image_channels=m.image_channels,
+            action_dim=m.action_dim,
+            state_dim=m.state_dim,
+        )
+    return meta
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port=0`` picks a free one
+    (read it back from ``server.server_port``)."""
+    lock = threading.Lock()
+    meta = predictor_meta(predictor)
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "acgan-serve/1"
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, {"ok": True, **meta})
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path!r}"})
+
+        def do_POST(self):
+            if self.path not in ("/predict", "/rollout"):
+                self._send_json(404, {"error": f"unknown path {self.path!r}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                arrays = _load_npz(self.rfile.read(n))
+            except Exception as e:
+                self._send_json(
+                    400, {"error": f"body is not an npz archive: {e}"}
+                )
+                return
+            try:
+                # One request on the device at a time (CLAUDE.md rule 2:
+                # concurrent TPU work time-slices catastrophically).
+                with lock:
+                    if self.path == "/predict":
+                        out = predictor.predict(
+                            arrays["frame"],
+                            arrays["action"],
+                            arrays.get("state"),
+                        )
+                    else:
+                        out = predictor.rollout(
+                            arrays.get("frame0", arrays.get("frame")),
+                            arrays["actions"],
+                            arrays.get("states"),
+                        )
+                body = _dump_npz(frames=np.asarray(out))
+            except KeyError as e:
+                self._send_json(400, {"error": f"missing input array {e}"})
+                return
+            except (ValueError, TypeError) as e:
+                # The predictors' own shape/horizon/divisibility messages.
+                self._send_json(400, {"error": str(e)})
+                return
+            self._send(200, body, _NPZ)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def build_predictor(args, cfg):
+    """CLI glue: ``--artifact foo.aot`` loads the AOT program,
+    ``--artifact foo.npz`` the portable weights archive (live jit path,
+    no orbax/workdir needed); otherwise the live Predictor restores from
+    ``--workdir``'s latest checkpoint."""
+    from action_conditioned_gans_tpu.infer import Predictor
+
+    artifact = getattr(args, "artifact", None)
+    if artifact:
+        if artifact.endswith(".npz"):
+            return Predictor.from_npz(artifact)
+        from action_conditioned_gans_tpu.aot import AotPredictor
+
+        return AotPredictor(artifact)
+    return Predictor.from_checkpoint(
+        cfg, args.workdir, use_ema=bool(getattr(args, "ema", False))
+    )
+
+
+def serve_forever(predictor, host: str, port: int) -> None:
+    srv = make_server(predictor, host, port)
+    print(
+        json.dumps(
+            {"serving": f"http://{srv.server_address[0]}:{srv.server_port}", **predictor_meta(predictor)}
+        ),
+        flush=True,
+    )
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+# -- tiny stdlib client -------------------------------------------------------
+
+
+def _post(url: str, arrays: Dict[str, np.ndarray]) -> np.ndarray:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=_dump_npz(**arrays), headers={"Content-Type": _NPZ}
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return _load_npz(resp.read())["frames"]
+    except urllib.error.HTTPError as e:
+        detail = e.read().decode(errors="replace")
+        try:
+            detail = json.loads(detail)["error"]
+        except Exception:
+            pass
+        raise RuntimeError(f"server returned {e.code}: {detail}") from None
+
+
+def client_predict(base_url: str, frame, action, state=None) -> np.ndarray:
+    arrays = {"frame": np.asarray(frame), "action": np.asarray(action)}
+    if state is not None:
+        arrays["state"] = np.asarray(state)
+    return _post(base_url.rstrip("/") + "/predict", arrays)
+
+
+def client_rollout(base_url: str, frame0, actions, states=None) -> np.ndarray:
+    arrays = {"frame0": np.asarray(frame0), "actions": np.asarray(actions)}
+    if states is not None:
+        arrays["states"] = np.asarray(states)
+    return _post(base_url.rstrip("/") + "/rollout", arrays)

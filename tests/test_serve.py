@@ -1,0 +1,179 @@
+"""HTTP inference server (serve.py): round-trips, parity with the direct
+predictor call, and error paths — over both the live Predictor and an AOT
+artifact."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from action_conditioned_gans_tpu.config import (
+    Config,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from action_conditioned_gans_tpu.infer import Predictor
+from action_conditioned_gans_tpu.models import Generator
+from action_conditioned_gans_tpu.serve import (
+    build_predictor,
+    client_predict,
+    client_rollout,
+    make_server,
+)
+
+
+def tiny_cfg(state_dim=0) -> Config:
+    return Config(
+        name="tiny",
+        model=ModelConfig(
+            image_size=16,
+            g_levels=2,
+            g_base_channels=8,
+            d_levels=2,
+            d_base_channels=8,
+            group_norm_groups=4,
+            compute_dtype="float32",
+            state_dim=state_dim,
+        ),
+        data=DataConfig(seq_len=2),
+        train=TrainConfig(batch_size=2),
+    )
+
+
+def make_params(cfg):
+    m = cfg.model
+    gen = Generator(m)
+    frame = np.zeros((1, m.image_size, m.image_size, m.image_channels), np.float32)
+    action = np.zeros((1, m.action_dim), np.float32)
+    state = np.zeros((1, m.state_dim), np.float32) if m.state_dim else None
+    return gen.init(jax.random.PRNGKey(0), frame, action, state)["params"]
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    cfg = tiny_cfg()
+    predictor = Predictor(cfg, make_params(cfg))
+    srv = make_server(predictor, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    yield url, predictor, cfg
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_healthz(live_server):
+    import json
+    import urllib.request
+
+    url, _, cfg = live_server
+    with urllib.request.urlopen(url + "/healthz") as r:
+        meta = json.loads(r.read())
+    assert meta["ok"] is True
+    assert meta["image_size"] == cfg.model.image_size
+    assert meta["action_dim"] == cfg.model.action_dim
+
+
+def test_predict_matches_direct_call(live_server):
+    url, predictor, cfg = live_server
+    rng = np.random.default_rng(0)
+    frame = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    action = rng.standard_normal((2, cfg.model.action_dim)).astype(np.float32)
+    via_http = client_predict(url, frame, action)
+    direct = np.asarray(predictor.predict(frame, action))
+    np.testing.assert_array_equal(via_http, direct)
+
+
+def test_rollout_matches_direct_call(live_server):
+    url, predictor, cfg = live_server
+    rng = np.random.default_rng(1)
+    frame0 = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    actions = rng.standard_normal((2, 3, cfg.model.action_dim)).astype(np.float32)
+    via_http = client_rollout(url, frame0, actions)
+    direct = np.asarray(predictor.rollout(frame0, actions))
+    assert via_http.shape == (2, 3, 16, 16, 3)
+    np.testing.assert_array_equal(via_http, direct)
+
+
+def test_error_paths(live_server):
+    import json
+    import urllib.error
+    import urllib.request
+
+    url, _, _ = live_server
+    # Unknown route -> 404.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url + "/nope")
+    assert e.value.code == 404
+    # Not an npz body -> 400 naming the problem.
+    req = urllib.request.Request(url + "/predict", data=b"not-npz")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert "npz" in json.loads(e.value.read())["error"]
+    # Missing input array -> 400 naming the absent key.
+    from action_conditioned_gans_tpu.serve import _dump_npz
+
+    req = urllib.request.Request(
+        url + "/predict",
+        data=_dump_npz(frame=np.zeros((2, 16, 16, 3), np.float32)),
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert "missing input array" in json.loads(e.value.read())["error"]
+
+
+def test_aot_artifact_server(tmp_path):
+    from action_conditioned_gans_tpu.aot import export_stablehlo
+
+    cfg = tiny_cfg(state_dim=3)
+    params = make_params(cfg)
+    path = str(tmp_path / "gen.aot")
+    export_stablehlo(cfg, params, path, rollout_length=3)
+
+    import argparse
+
+    args = argparse.Namespace(artifact=path, workdir=None, ema=False)
+    predictor = build_predictor(args, cfg)
+    srv = make_server(predictor, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        rng = np.random.default_rng(2)
+        frame0 = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+        actions = rng.standard_normal((2, 3, cfg.model.action_dim)).astype(np.float32)
+        states = rng.standard_normal((2, 3, 3)).astype(np.float32)
+        out = client_rollout(url, frame0, actions, states)
+        direct = np.asarray(predictor.rollout(frame0, actions, states))
+        np.testing.assert_array_equal(out, direct)
+        # The artifact's own horizon error surfaces as a 400 with its text.
+        with pytest.raises(RuntimeError, match="horizon"):
+            client_rollout(url, frame0, actions[:, :1], states[:, :1])
+        # State-conditioned artifact refuses a stateless request.
+        with pytest.raises(RuntimeError, match="state"):
+            client_rollout(url, frame0, actions)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_build_predictor_npz_route(tmp_path):
+    from action_conditioned_gans_tpu.infer import export_generator
+
+    cfg = tiny_cfg()
+    params = make_params(cfg)
+    path = str(tmp_path / "gen.npz")
+    export_generator(cfg, params, path)
+
+    import argparse
+
+    args = argparse.Namespace(artifact=path, workdir=None, ema=False)
+    predictor = build_predictor(args, cfg)
+    assert isinstance(predictor, Predictor)
+    frame = np.zeros((2, 16, 16, 3), np.float32)
+    action = np.zeros((2, cfg.model.action_dim), np.float32)
+    assert np.asarray(predictor.predict(frame, action)).shape == (2, 16, 16, 3)
