@@ -271,12 +271,29 @@ def main(argv=None) -> int:
         # over an AOT artifact, an npz archive, or the latest checkpoint.
         from action_conditioned_gans_tpu.serve import build_predictor, serve_forever
 
-        if not args.artifact and not (args.workdir or cfg.workdir):
-            parser.error("serve needs --artifact or --workdir")
+        # cfg.workdir always has the /tmp/acgan default, so require an
+        # EXPLICIT source: silently restoring whatever stale checkpoint a
+        # previous unrelated run left under the default dir is never what
+        # the operator meant when standing up a serving endpoint.
+        if not args.artifact and not args.workdir:
+            parser.error("serve needs --artifact or an explicit --workdir")
         serve_forever(build_predictor(args, cfg), args.host, args.port)
         return 0
 
     if args.command in ("sample", "eval", "export"):
+        if (
+            args.command == "export"
+            and args.rollout_length > 0
+            and args.format != "stablehlo"
+        ):
+            # Pure-argument validation — refuse BEFORE the (potentially
+            # minutes-long) checkpoint restore below. Silently writing an
+            # npz (which has no rollout program) would deploy an artifact
+            # missing the horizon the user asked for.
+            parser.error(
+                "--rollout-length requires --format stablehlo "
+                "(the npz archive holds weights, not programs)"
+            )
         import jax
 
         from action_conditioned_gans_tpu.train.sample import evaluate, sample
@@ -325,14 +342,6 @@ def main(argv=None) -> int:
                 parser.error("--ema needs a checkpoint trained with train.ema_decay > 0")
             state = state.replace(g_params=state.g_ema)
         if args.command == "export":
-            if args.rollout_length > 0 and args.format != "stablehlo":
-                # Silently writing an npz (which has no rollout program)
-                # would deploy an artifact missing the horizon the user
-                # asked for.
-                parser.error(
-                    "--rollout-length requires --format stablehlo "
-                    "(the npz archive holds weights, not programs)"
-                )
             if args.format == "stablehlo":
                 # Self-contained AOT program (weights baked in, symbolic
                 # batch, cpu+tpu lowerings): loads with jax alone via

@@ -34,6 +34,11 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 _NPZ = "application/x-npz"
+# Refuse request bodies beyond this (413): Content-Length is attacker-
+# controlled once --host exposes the socket, and the handler buffers the
+# body in RAM. 2 GiB covers any sane frame batch (config5 geometry at
+# B=64, T=30 is ~1.5 GiB).
+_MAX_BODY = 2 << 30
 
 
 def _load_npz(body: bytes) -> Dict[str, np.ndarray]:
@@ -110,12 +115,27 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
                 self._send_json(404, {"error": f"unknown path {self.path!r}"})
 
         def do_POST(self):
+            # ALWAYS drain the body before responding: with HTTP/1.1
+            # keep-alive, unread body bytes would be parsed as the next
+            # request line, desyncing the connection.
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                self.close_connection = True
+                self._send_json(400, {"error": "bad Content-Length"})
+                return
+            if n > _MAX_BODY:
+                self.close_connection = True
+                self._send_json(
+                    413, {"error": f"body of {n} bytes exceeds {_MAX_BODY}"}
+                )
+                return
+            raw = self.rfile.read(n)
             if self.path not in ("/predict", "/rollout"):
                 self._send_json(404, {"error": f"unknown path {self.path!r}"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                arrays = _load_npz(self.rfile.read(n))
+                arrays = _load_npz(raw)
             except Exception as e:
                 self._send_json(
                     400, {"error": f"body is not an npz archive: {e}"}
@@ -123,7 +143,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
                 return
             try:
                 # One request on the device at a time (CLAUDE.md rule 2:
-                # concurrent TPU work time-slices catastrophically).
+                # concurrent TPU work time-slices catastrophically). The
+                # fetch (np.asarray) stays INSIDE the lock: jax dispatch is
+                # async, so the predictor call alone only enqueues work.
                 with lock:
                     if self.path == "/predict":
                         out = predictor.predict(
@@ -137,17 +159,25 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
                             arrays["actions"],
                             arrays.get("states"),
                         )
-                body = _dump_npz(frames=np.asarray(out))
+                    body = _dump_npz(frames=np.asarray(out))
             except KeyError as e:
                 self._send_json(400, {"error": f"missing input array {e}"})
                 return
-            except (ValueError, TypeError) as e:
-                # The predictors' own shape/horizon/divisibility messages.
+            except (ValueError, TypeError, IndexError) as e:
+                # The predictors' own shape/horizon/divisibility messages
+                # (IndexError: a wrong-rank array indexed for a dim).
                 self._send_json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — a 500 beats a reset
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._send(200, body, _NPZ)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    # A wedged client connection must not block server shutdown.
+    srv.daemon_threads = True
+    srv.predictor_meta = meta  # reused by serve_forever's banner
+    return srv
 
 
 def build_predictor(args, cfg):
@@ -173,7 +203,7 @@ def serve_forever(predictor, host: str, port: int) -> None:
     srv = make_server(predictor, host, port)
     print(
         json.dumps(
-            {"serving": f"http://{srv.server_address[0]}:{srv.server_port}", **predictor_meta(predictor)}
+            {"serving": f"http://{srv.server_address[0]}:{srv.server_port}", **srv.predictor_meta}
         ),
         flush=True,
     )

@@ -126,6 +126,59 @@ def test_error_paths(live_server):
     assert "missing input array" in json.loads(e.value.read())["error"]
 
 
+def test_keepalive_connection_survives_errors(live_server):
+    """HTTP/1.1 keep-alive: an errored POST must drain its body, or the
+    leftover bytes get parsed as the next request line on the same
+    connection."""
+    import http.client
+
+    from action_conditioned_gans_tpu.serve import _dump_npz
+
+    url, _, _ = live_server
+    conn = http.client.HTTPConnection(url.split("//")[1])
+    try:
+        body = _dump_npz(frame=np.zeros((1, 16, 16, 3), np.float32))
+        conn.request("POST", "/nope", body=body)
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # The SAME connection still serves the next request.
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        r2.read()
+    finally:
+        conn.close()
+
+
+def test_oversized_body_is_refused(live_server):
+    """Content-Length beyond the cap -> 413 without buffering the body."""
+    import http.client
+
+    url, _, _ = live_server
+    conn = http.client.HTTPConnection(url.split("//")[1])
+    try:
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", str(50 * 2**30))
+        conn.endheaders()
+        r = conn.getresponse()
+        assert r.status == 413
+    finally:
+        conn.close()
+
+
+def test_cli_serve_requires_explicit_source():
+    """Bare `acgan serve` must refuse (cfg.workdir's /tmp default would
+    otherwise silently serve a stale checkpoint)."""
+    import pytest as _pytest
+
+    from action_conditioned_gans_tpu.cli import main
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["serve"])
+    assert exc.value.code == 2
+
+
 def test_aot_artifact_server(tmp_path):
     from action_conditioned_gans_tpu.aot import export_stablehlo
 
