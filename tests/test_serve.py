@@ -214,6 +214,61 @@ def test_aot_artifact_server(tmp_path):
         srv.server_close()
 
 
+def test_cli_serve_subprocess(tmp_path):
+    """`acgan serve --artifact ... --port 0` end-to-end in a subprocess:
+    banner JSON advertises the bound port; /healthz and /predict answer."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    from action_conditioned_gans_tpu.aot import export_stablehlo
+
+    cfg = tiny_cfg()
+    path = str(tmp_path / "gen.aot")
+    export_stablehlo(cfg, make_params(cfg), path, platforms=("cpu",))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "from action_conditioned_gans_tpu.cli import main; "
+        f"main(['serve','--artifact',{path!r},'--port','0'])"
+    )
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+    try:
+        banner = json.loads(proc.stdout.readline())
+        url = banner["serving"]
+        assert banner["backend"] == "AotPredictor"
+        deadline = time.time() + 60
+        while True:
+            try:
+                with urllib.request.urlopen(url + "/healthz", timeout=5) as r:
+                    assert json.loads(r.read())["ok"] is True
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.5)
+        out = client_predict(
+            url,
+            np.zeros((2, 16, 16, 3), np.float32),
+            np.zeros((2, cfg.model.action_dim), np.float32),
+        )
+        assert out.shape == (2, 16, 16, 3)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_build_predictor_npz_route(tmp_path):
     from action_conditioned_gans_tpu.infer import export_generator
 
