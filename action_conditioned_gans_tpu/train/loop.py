@@ -214,6 +214,22 @@ def train(
     def crossed(before: int, after: int, every: int) -> bool:
         return every > 0 and (after // every) > (before // every)
 
+    # When an lr schedule is active, stamp the effective lrs into each log
+    # line (host-side from the schedule fn; the device step doesn't pay).
+    from action_conditioned_gans_tpu.train.state import make_lr_schedule
+
+    g_sched, d_sched = make_lr_schedule(t, t.g_lr), make_lr_schedule(t, t.d_lr)
+
+    def lr_metrics(step_done: int) -> dict:
+        if isinstance(g_sched, float):
+            return {}
+        # The schedule counter is the number of COMPLETED optimizer updates
+        # when the step ran; the last step in this call used step_done - 1.
+        return {
+            "g_lr": float(g_sched(step_done - 1)),
+            "d_lr": float(d_sched(step_done - 1)),
+        }
+
     metrics = {}
     call = start // k  # keeps the synthetic stream aligned across resume
     done = start
@@ -236,7 +252,7 @@ def train(
             call += 1
             if crossed(before, done, t.log_every) or before == start:
                 # Block on metrics only at log boundaries; keeps dispatch async.
-                writer.write(done, jax.device_get(metrics))
+                writer.write(done, {**jax.device_get(metrics), **lr_metrics(done)})
             writer.tick()
             if crossed(before, done, t.checkpoint_every):
                 ckpt.save(done, jax.device_get(state))

@@ -200,6 +200,39 @@ def test_grad_norm_metrics_opt_in():
     assert "g_grad_norm" not in m2
 
 
+def test_effective_lr_in_log_lines(tmp_path, capsys):
+    """With a schedule active, each metric log line carries the host-side
+    effective g_lr/d_lr; with the constant default the keys are absent."""
+    import json as _json
+
+    from action_conditioned_gans_tpu.cli import main
+
+    args = [
+        "train", "--preset", "config1", "--workdir", str(tmp_path),
+        "--steps", "2",
+    ]
+    for o in (
+        "model.image_size=16", "model.g_levels=2", "model.g_base_channels=8",
+        "model.d_levels=2", "model.d_base_channels=8",
+        "model.group_norm_groups=4", "model.compute_dtype=float32",
+        "train.batch_size=8", "train.steps_per_call=1", "train.log_every=1",
+        "train.warmup_steps=4", "train.total_steps=100",
+        "data.source=synthetic",
+    ):
+        args += ["--set", o]
+    assert main(args) == 0
+    records = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{") and '"g_lr"' in line
+    ]
+    by_step = {r["step"]: r for r in records}
+    # Step 1 logged lr(count=0) = 0 (warmup start); step 2 = peak * 1/4.
+    assert by_step[1]["g_lr"] == pytest.approx(0.0)
+    assert by_step[2]["g_lr"] == pytest.approx(2e-4 / 4)
+    assert by_step[2]["d_lr"] == pytest.approx(2e-4 / 4)
+
+
 def test_clip_and_schedule_train_and_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config(
         lr_schedule="cosine",
