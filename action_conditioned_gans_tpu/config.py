@@ -240,6 +240,14 @@ class TrainConfig:
     recon_type: str = "l2"  # "l2" | "l1"
     # D updates per G update (reference alternates 1:1, SURVEY.md §4.1).
     disc_steps: int = 1
+    # R1 gradient penalty on the discriminator (zero-centered GP at the
+    # REAL transitions, Mescheder et al. 2018 genre): adds
+    # (r1_weight/2)·E[‖∇_x D(x_real)‖²] to the D loss every D step,
+    # conditioning inputs held fixed. 0 disables (the reference has none;
+    # this is a standard GAN-stability regularizer). Costs one extra D
+    # forward+backward per step and a second-order grad through it. The
+    # d_r1 metric reports the unweighted penalty.
+    r1_weight: float = 0.0
     # Apply each Adam update over ONE flattened parameter vector
     # (optax.flatten) instead of ~50 per-tensor fusions. Elementwise math is
     # unchanged (near-bitwise updates, pinned by test). Measured NEUTRAL on

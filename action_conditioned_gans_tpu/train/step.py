@@ -187,31 +187,57 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                 fake_logits = d_apply(d_params, fake_next, cond, act, st)
             loss = L.discriminator_loss(real_logits, fake_logits)
             real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
-            return loss, (real_acc, fake_acc)
+            r1 = jnp.zeros((), jnp.float32)
+            if t.r1_weight > 0:
+                # R1 gradient penalty (the zero-centered real-sample GP of
+                # the Mescheder et al. 2018 genre): (γ/2)·E[‖∇_x D(x)‖²] at
+                # the REAL next-frames, conditioning held fixed. The grad
+                # of sum-of-logits gives per-sample input grads (and stays
+                # correct under norm="batch" coupling). Differentiating the
+                # d loss then carries second-order terms through this —
+                # jax.grad composes, including inside the microbatch scan.
+                def score(x):
+                    return d_apply(d_params, x, cond, act, st).sum()
+
+                gx = jax.grad(score)(real)
+                r1 = jnp.mean(
+                    jnp.sum(
+                        jnp.square(gx.astype(jnp.float32)),
+                        axis=tuple(range(1, gx.ndim)),
+                    )
+                )
+                loss = loss + 0.5 * t.r1_weight * r1
+            return loss, (real_acc, fake_acc, r1)
 
         def d_value_and_grad(d_params, fake_next):
-            """((loss, (real_acc, fake_acc)), grads), full batch or chunked."""
+            """((loss, (real_acc, fake_acc, r1)), grads), full or chunked."""
             if nc == 1:
                 return jax.value_and_grad(d_loss_on, has_aux=True)(
                     d_params, fake_next, real_next, cond_frames, flat_actions, flat_states
                 )
 
             def body(carry, fk, rl, cd, ac, st):
-                (l, (ra, fa)), g = jax.value_and_grad(d_loss_on, has_aux=True)(
+                (l, (ra, fa, r1)), g = jax.value_and_grad(d_loss_on, has_aux=True)(
                     d_params, fk, rl, cd, ac, st
                 )
-                cl, cra, cfa, cg = carry
+                cl, cra, cfa, cr1, cg = carry
                 cg = jax.tree_util.tree_map(lambda a, b: a + b / nc, cg, g)
-                return (cl + l / nc, cra + ra / nc, cfa + fa / nc, cg), None
+                return (
+                    cl + l / nc,
+                    cra + ra / nc,
+                    cfa + fa / nc,
+                    cr1 + r1 / nc,
+                    cg,
+                ), None
 
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, d_params)
             zero = jnp.zeros((), jnp.float32)
-            (loss, ra, fa, grads), _ = _chunk_scan(
+            (loss, ra, fa, r1, grads), _ = _chunk_scan(
                 (fake_next, real_next, cond_frames, flat_actions, flat_states),
                 body,
-                (zero, zero, zero, zero_g),
+                (zero, zero, zero, zero, zero_g),
             )
-            return (loss, (ra, fa)), grads
+            return (loss, (ra, fa, r1)), grads
 
         # --- ONE generator rollout per step. D's fake batch and G's update
         # use the same params and the same sampling key, so the forward is
@@ -231,9 +257,9 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         fake_for_d = lax.stop_gradient(flat_preds)
         d_params, d_opt = state.d_params, state.d_opt
         d_loss = jnp.zeros((), jnp.float32)
-        real_acc = fake_acc = jnp.zeros((), jnp.float32)
+        real_acc = fake_acc = d_r1 = jnp.zeros((), jnp.float32)
         for _ in range(max(t.disc_steps, 1)):
-            (d_loss, (real_acc, fake_acc)), d_grads = d_value_and_grad(
+            (d_loss, (real_acc, fake_acc, d_r1)), d_grads = d_value_and_grad(
                 d_params, fake_for_d
             )
             d_grads = _pmean(d_grads)
@@ -308,6 +334,8 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             "d_fake_acc": _pmean(fake_acc),
             "ss_prob": ss_prob,
         }
+        if t.r1_weight > 0:
+            metrics["d_r1"] = _pmean(d_r1)
         if t.log_grad_norms:
             # Post-pmean, PRE-clip global L2 norms — what the optimizer
             # chain receives; the observability for tuning grad_clip_norm
