@@ -248,6 +248,10 @@ class TrainConfig:
     # forward+backward per step and a second-order grad through it. The
     # d_r1 metric reports the unweighted penalty.
     r1_weight: float = 0.0
+    # One-sided label smoothing for D's REAL targets (Salimans et al.
+    # 2016): CE(D(real), 1-eps). Fake targets stay hard (smoothing them is
+    # known to hurt). 0 = the reference's hard labels. Typical value 0.1.
+    d_label_smooth: float = 0.0
     # Apply each Adam update over ONE flattened parameter vector
     # (optax.flatten) instead of ~50 per-tensor fusions. Elementwise math is
     # unchanged (near-bitwise updates, pinned by test). Measured NEUTRAL on

@@ -13,10 +13,27 @@ import jax
 import jax.numpy as jnp
 
 
-def discriminator_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
-    """CE(D(real), 1) + CE(D(fake), 0) == softplus(-real) + softplus(fake)."""
-    real = jnp.mean(jax.nn.softplus(-real_logits.astype(jnp.float32)))
+def discriminator_loss(
+    real_logits: jax.Array,
+    fake_logits: jax.Array,
+    real_label_smooth: float = 0.0,
+) -> jax.Array:
+    """CE(D(real), 1-ε) + CE(D(fake), 0), softplus form.
+
+    ``real_label_smooth`` is the ONE-SIDED label smoothing of Salimans et
+    al. 2016: only the real targets soften (1 → 1-ε), expanding
+    CE(x, 1-ε) = (1-ε)·softplus(-x) + ε·softplus(x); smoothing fake labels
+    too is known to be harmful (it pulls D's optimum toward the generator
+    density). ε=0 reduces exactly to the reference loss.
+    """
+    rl = real_logits.astype(jnp.float32)
     fake = jnp.mean(jax.nn.softplus(fake_logits.astype(jnp.float32)))
+    if real_label_smooth == 0.0:
+        return jnp.mean(jax.nn.softplus(-rl)) + fake
+    eps = real_label_smooth
+    real = jnp.mean(
+        (1.0 - eps) * jax.nn.softplus(-rl) + eps * jax.nn.softplus(rl)
+    )
     return real + fake
 
 

@@ -185,7 +185,9 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             else:
                 real_logits = d_apply(d_params, real, cond, act, st)
                 fake_logits = d_apply(d_params, fake_next, cond, act, st)
-            loss = L.discriminator_loss(real_logits, fake_logits)
+            loss = L.discriminator_loss(
+                real_logits, fake_logits, t.d_label_smooth
+            )
             real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
             r1 = jnp.zeros((), jnp.float32)
             if t.r1_weight > 0:

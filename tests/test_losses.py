@@ -54,3 +54,50 @@ def test_discriminator_accuracy():
     fake = jnp.array([-1.0, -2.0, 1.0, -3.0])  # 3/4 classified fake
     ra, fa = L.discriminator_accuracy(real, fake)
     assert float(ra) == 0.75 and float(fa) == 0.75
+
+
+def test_one_sided_label_smoothing():
+    """CE(x, 1-eps) expands to (1-eps)*softplus(-x) + eps*softplus(x); only
+    the real term softens, and eps=0 is exactly the hard-label loss."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from action_conditioned_gans_tpu.train import losses as L
+
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    fake = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    base = L.discriminator_loss(real, fake)
+    eps = 0.1
+    smoothed = L.discriminator_loss(real, fake, eps)
+    # Manual cross-entropy against soft target p=1-eps on the real side.
+    p = 1.0 - eps
+    sig = jax.nn.sigmoid(real)
+    manual_real = -jnp.mean(p * jnp.log(sig) + (1 - p) * jnp.log1p(-sig))
+    manual = manual_real + jnp.mean(jax.nn.softplus(fake))
+    np.testing.assert_allclose(float(smoothed), float(manual), rtol=1e-5)
+    assert float(L.discriminator_loss(real, fake, 0.0)) == float(base)
+    # Smoothing penalizes overconfident-real predictions: with strongly
+    # positive real logits the smoothed loss exceeds the hard-label loss.
+    conf = jnp.full((64,), 5.0)
+    assert float(L.discriminator_loss(conf, fake, eps)) > float(
+        L.discriminator_loss(conf, fake)
+    )
+
+
+def test_label_smoothing_through_train_step():
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tests.test_train_step import make_batch, tiny_config
+    from action_conditioned_gans_tpu.train import init_state
+    from action_conditioned_gans_tpu.train.step import jit_train_step
+
+    cfg = tiny_config(d_label_smooth=0.1)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    _, m = jit_train_step(cfg)(state, make_batch(cfg), jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in m.values())
