@@ -252,6 +252,15 @@ class TrainConfig:
     # 2016): CE(D(real), 1-eps). Fake targets stay hard (smoothing them is
     # known to hurt). 0 = the reference's hard labels. Typical value 0.1.
     d_label_smooth: float = 0.0
+    # Differentiable D-input augmentation (DiffAugment genre, Zhao et al.
+    # 2020; train/augment.py): comma-list of "color", "translation",
+    # "cutout" applied to BOTH real and fake D inputs, gradients flowing
+    # through to G — the limited-data regularizer. The conditioning frame
+    # gets the same per-sample transform as its paired next-frame;
+    # reconstruction always uses the raw prediction. With r1_weight > 0
+    # the penalty is evaluated at the AUGMENTED real points (D's actual
+    # input manifold). "" = off (the reference trains un-augmented).
+    d_augment: str = ""
     # Apply each Adam update over ONE flattened parameter vector
     # (optax.flatten) instead of ~50 per-tensor fusions. Elementwise math is
     # unchanged (near-bitwise updates, pinned by test). Measured NEUTRAL on

@@ -26,6 +26,7 @@ from jax import lax
 
 from action_conditioned_gans_tpu.config import Config
 from action_conditioned_gans_tpu.models import Discriminator, Generator
+from action_conditioned_gans_tpu.train import augment
 from action_conditioned_gans_tpu.train import losses as L
 from action_conditioned_gans_tpu.train.rollout import (
     rollout_generator,
@@ -54,6 +55,9 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
     m, t = cfg.model, cfg.train
     gen, disc = Generator(m), Discriminator(m)
     g_tx, d_tx = make_optimizers(cfg)
+    # Differentiable D-input augmentation policy (() = off); validated here
+    # so a typo'd op name fails at build, not mid-training.
+    aug_ops = augment.parse_policy(t.d_augment)
 
     def g_apply(params, frame, action, state):
         return gen.apply({"params": params}, frame, action, state, axis_name=axis_name)
@@ -174,17 +178,26 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
 
             return lax.scan(body, carry0, xs)
 
-        def d_loss_on(d_params, fake_next, real, cond, act, st):
+        def d_loss_on(d_params, fake_next, real, cond, cond_f, act, st):
+            # cond_f: the fake half's conditioning frames when d_augment
+            # transformed them separately from the real half's; None reuses
+            # `cond` (the no-augmentation case).
+            cond_fake = cond if cond_f is None else cond_f
             if batch_d:
                 both = jnp.concatenate([real, fake_next], axis=0)
                 two = lambda x: (
                     jnp.concatenate([x, x], axis=0) if x is not None else None
                 )
-                logits = d_apply(d_params, both, two(cond), two(act), two(st))
+                both_cond = (
+                    jnp.concatenate([cond, cond_fake], axis=0)
+                    if cond is not None
+                    else None
+                )
+                logits = d_apply(d_params, both, both_cond, two(act), two(st))
                 real_logits, fake_logits = jnp.split(logits, 2, axis=0)
             else:
                 real_logits = d_apply(d_params, real, cond, act, st)
-                fake_logits = d_apply(d_params, fake_next, cond, act, st)
+                fake_logits = d_apply(d_params, fake_next, cond_fake, act, st)
             loss = L.discriminator_loss(
                 real_logits, fake_logits, t.d_label_smooth
             )
@@ -211,16 +224,16 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                 loss = loss + 0.5 * t.r1_weight * r1
             return loss, (real_acc, fake_acc, r1)
 
-        def d_value_and_grad(d_params, fake_next):
+        def d_value_and_grad(d_params, fake_next, real, cond, cond_f):
             """((loss, (real_acc, fake_acc, r1)), grads), full or chunked."""
             if nc == 1:
                 return jax.value_and_grad(d_loss_on, has_aux=True)(
-                    d_params, fake_next, real_next, cond_frames, flat_actions, flat_states
+                    d_params, fake_next, real, cond, cond_f, flat_actions, flat_states
                 )
 
-            def body(carry, fk, rl, cd, ac, st):
+            def body(carry, fk, rl, cd, cf, ac, st):
                 (l, (ra, fa, r1)), g = jax.value_and_grad(d_loss_on, has_aux=True)(
-                    d_params, fk, rl, cd, ac, st
+                    d_params, fk, rl, cd, cf, ac, st
                 )
                 cl, cra, cfa, cr1, cg = carry
                 cg = jax.tree_util.tree_map(lambda a, b: a + b / nc, cg, g)
@@ -235,7 +248,7 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, d_params)
             zero = jnp.zeros((), jnp.float32)
             (loss, ra, fa, r1, grads), _ = _chunk_scan(
-                (fake_next, real_next, cond_frames, flat_actions, flat_states),
+                (fake_next, real, cond, cond_f, flat_actions, flat_states),
                 body,
                 (zero, zero, zero, zero, zero_g),
             )
@@ -257,12 +270,35 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         # against the same fake batch (static unroll — reference alternates
         # 1:1, SURVEY.md §4.1).
         fake_for_d = lax.stop_gradient(flat_preds)
+
+        # Differentiable D-input augmentation (train.d_augment; DiffAugment
+        # genre — see train/augment.py). Real and fake batches draw
+        # independent per-sample params; each conditioning frame gets the
+        # SAME transform as its paired next-frame. Params are pre-drawn for
+        # the full folded batch so the rows chunk exactly alongside their
+        # images under disc microbatching. The G head draws its own params
+        # (u_g, applied inside g_head_on so gradients flow through the
+        # transform to the generator). Reconstruction stays on RAW preds.
+        if aug_ops:
+            rng, akey = jax.random.split(rng)
+            kr, kf, kg = jax.random.split(akey, 3)
+            real_d, cond_real_d = augment.apply(
+                aug_ops, augment.draw_params(kr, aug_ops, n_flat), real_next, cond_frames
+            )
+            fake_d, cond_fake_d = augment.apply(
+                aug_ops, augment.draw_params(kf, aug_ops, n_flat), fake_for_d, cond_frames
+            )
+            u_g = augment.draw_params(kg, aug_ops, n_flat)
+        else:
+            real_d, cond_real_d = real_next, cond_frames
+            fake_d, cond_fake_d, u_g = fake_for_d, None, None
+
         d_params, d_opt = state.d_params, state.d_opt
         d_loss = jnp.zeros((), jnp.float32)
         real_acc = fake_acc = d_r1 = jnp.zeros((), jnp.float32)
         for _ in range(max(t.disc_steps, 1)):
             (d_loss, (real_acc, fake_acc, d_r1)), d_grads = d_value_and_grad(
-                d_params, fake_for_d
+                d_params, fake_d, real_d, cond_real_d, cond_fake_d
             )
             d_grads = _pmean(d_grads)
             d_updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
@@ -277,8 +313,12 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         # same microbatch axis as D when disc_microbatch is set (the head's
         # losses are per-sample means, so per-chunk cotangents scaled by
         # 1/nc stack into the exact full-batch cotangent).
-        def g_head_on(preds_c, real_c, cond_c, act_c, st_c):
-            fake_logits = d_apply(d_params, preds_c, cond_c, act_c, st_c)
+        def g_head_on(preds_c, real_c, cond_c, act_c, st_c, u_c):
+            # Augment what D sees (grads flow through the transform back to
+            # the generator — the DiffAugment contract); reconstruct on the
+            # RAW prediction against the raw target.
+            d_in, cond_in = augment.apply(aug_ops, u_c, preds_c, cond_c)
+            fake_logits = d_apply(d_params, d_in, cond_in, act_c, st_c)
             adv = L.generator_adv_loss(fake_logits)
             recon = L.reconstruction_loss(preds_c, real_c, t.recon_type)
             return adv + t.recon_weight * recon, (adv, recon)
@@ -286,19 +326,19 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
         if nc == 1:
             (g_loss, (g_adv, g_recon)), d_preds = jax.value_and_grad(
                 g_head_on, has_aux=True
-            )(flat_preds, real_next, cond_frames, flat_actions, flat_states)
+            )(flat_preds, real_next, cond_frames, flat_actions, flat_states, u_g)
         else:
 
-            def g_body(carry, pr, rl, cd, ac, st):
+            def g_body(carry, pr, rl, cd, ac, st, ug):
                 (l, (a, r)), dp = jax.value_and_grad(g_head_on, has_aux=True)(
-                    pr, rl, cd, ac, st
+                    pr, rl, cd, ac, st, ug
                 )
                 cl, ca, cr = carry
                 return (cl + l / nc, ca + a / nc, cr + r / nc), dp * (1.0 / nc)
 
             zero = jnp.zeros((), jnp.float32)
             (g_loss, g_adv, g_recon), dp_chunks = _chunk_scan(
-                (flat_preds, real_next, cond_frames, flat_actions, flat_states),
+                (flat_preds, real_next, cond_frames, flat_actions, flat_states, u_g),
                 g_body,
                 (zero, zero, zero),
             )
