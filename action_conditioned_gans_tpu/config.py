@@ -56,6 +56,15 @@ class ModelConfig:
     # action vector, not just the candidate next frame.
     d_condition_frame: bool = True
     d_condition_action: bool = True
+    # Spectral normalization of EVERY D weight (convs + the logit head;
+    # Miyato et al. 2018) — Lipschitz-constrains the discriminator.
+    # STATELESS power iteration (models/common.spectral_normalize):
+    # restarted deterministically each call with sn_iters iterations, so
+    # the TrainState stays pure params (no mutable u vectors, no
+    # checkpoint-layout change, resume-exact). Off by default (the
+    # reference has no SN).
+    d_spectral_norm: bool = False
+    sn_iters: int = 9
 
     # Normalization: "group" (default; stateless and DP-exact), "batch"
     # (per-batch statistics, cross-device-synced via psum under data

@@ -31,6 +31,36 @@ def tile_condition(
     return jnp.broadcast_to(cond[:, None, None, :], (b, height, width, a))
 
 
+def spectral_normalize(w: jax.Array, iters: int = 9) -> jax.Array:
+    """Divide ``w`` by its largest singular value (spectral normalization,
+    Miyato et al. 2018), estimated by power iteration.
+
+    STATELESS by design: classic SN persists the iteration vector ``u``
+    across steps (1 iteration/step); persisting it here would add a mutable
+    variable collection through the pure-params TrainState, the checkpoint
+    layout, and the TP sharding rules. Instead the iteration restarts every
+    call from a deterministic vector and runs ``iters`` times — parameters
+    move slowly, the per-layer cost is a few matvecs (micro vs the conv
+    itself), and the estimate is reproducible (no hidden state, resume-
+    exact). Conv kernels (H, K, I, O) flatten to (H·K·I, O); gradients take
+    the standard form dσ/dW = u vᵀ via stop-gradiented u, v.
+    """
+    shape = w.shape
+    w2d = w.reshape(-1, shape[-1]).astype(jnp.float32)
+    m = w2d.shape[0]
+    u = jnp.full((m,), 1.0 / jnp.sqrt(jnp.asarray(m, jnp.float32)), jnp.float32)
+    eps = 1e-12
+    for _ in range(iters):
+        v = w2d.T @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u = w2d @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (w2d @ v)
+    return (w2d / (sigma + eps)).reshape(shape).astype(w.dtype)
+
+
 class ConvBlock(nn.Module):
     """conv -> norm -> activation, with optional fused-Pallas backend.
 
@@ -51,6 +81,10 @@ class ConvBlock(nn.Module):
     gn_backward: str = "ad"
     wgrad: str = "xla"
     axis_name: Optional[str] = None
+    # Spectral normalization of the kernel (see spectral_normalize): used
+    # by the discriminator when ModelConfig.d_spectral_norm is on.
+    spectral_norm: bool = False
+    sn_iters: int = 9
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -61,6 +95,8 @@ class ConvBlock(nn.Module):
             (self.kernel, self.kernel, in_ch, self.features),
             jnp.float32,
         )
+        if self.spectral_norm:
+            w = spectral_normalize(w, self.sn_iters)
         scale = (
             self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             if self.norm != "none"

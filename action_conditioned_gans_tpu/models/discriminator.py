@@ -66,6 +66,8 @@ class Discriminator(nn.Module):
                 gn_backward=cfg.gn_backward,
                 wgrad=cfg.wgrad,
                 axis_name=axis_name,
+                spectral_norm=cfg.d_spectral_norm,
+                sn_iters=cfg.sn_iters,
                 name=f"conv_{i}",
             )(x)
             # "Deeper discriminator" (BASELINE.json config 3): extra stride-1
@@ -83,6 +85,8 @@ class Discriminator(nn.Module):
                     gn_backward=cfg.gn_backward,
                     wgrad=cfg.wgrad,
                     axis_name=axis_name,
+                    spectral_norm=cfg.d_spectral_norm,
+                    sn_iters=cfg.sn_iters,
                     name=f"conv_{i}_extra_{j}",
                 )(x)
 
@@ -95,5 +99,9 @@ class Discriminator(nn.Module):
             jnp.float32,
         )
         b_out = self.param("logit_bias", nn.initializers.zeros, (1,), jnp.float32)
+        if cfg.d_spectral_norm:
+            from action_conditioned_gans_tpu.models.common import spectral_normalize
+
+            w_out = spectral_normalize(w_out, cfg.sn_iters)
         logit = ops.dense(x, w_out, b_out)  # XLA-only op (see ops.api.dense)
         return logit[:, 0].astype(jnp.float32)
