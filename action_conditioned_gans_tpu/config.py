@@ -114,6 +114,10 @@ class ModelConfig:
             raise ValueError(f"unknown gn_backward engine {self.gn_backward!r}")
         if self.wgrad not in ("xla", "patches"):
             raise ValueError(f"unknown wgrad engine {self.wgrad!r}")
+        if self.sn_iters < 1:
+            # 0 would leave the power iteration's v unbound (opaque
+            # NameError at trace time).
+            raise ValueError(f"sn_iters must be >= 1, got {self.sn_iters}")
         if self.wgrad == "patches" and self.backend == "pallas":
             # The pallas conv carries its own custom VJP; accepting both
             # knobs would silently run pallas and A/B the wrong engine.

@@ -121,6 +121,10 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
             try:
                 n = int(self.headers.get("Content-Length", "0"))
             except ValueError:
+                n = -1
+            if n < 0:
+                # Negative would make rfile.read() block until EOF — a
+                # handler-thread DoS on a kept-alive connection.
                 self.close_connection = True
                 self._send_json(400, {"error": "bad Content-Length"})
                 return
@@ -190,7 +194,10 @@ def build_predictor(args, cfg):
     artifact = getattr(args, "artifact", None)
     if artifact:
         if artifact.endswith(".npz"):
-            return Predictor.from_npz(artifact)
+            # Pass the CLI-built cfg through: runtime-only knobs
+            # (compute_dtype/backend/...) stay caller-controlled while the
+            # architecture comes from the archive (from_npz's contract).
+            return Predictor.from_npz(artifact, cfg=cfg)
         from action_conditioned_gans_tpu.aot import AotPredictor
 
         return AotPredictor(artifact)

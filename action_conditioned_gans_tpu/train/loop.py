@@ -215,19 +215,24 @@ def train(
         return every > 0 and (after // every) > (before // every)
 
     # When an lr schedule is active, stamp the effective lrs into each log
-    # line (host-side from the schedule fn; the device step doesn't pay).
-    from action_conditioned_gans_tpu.train.state import make_lr_schedule
+    # line. lr_value is PURE PYTHON — evaluating the optax schedule here
+    # would dispatch tiny jnp programs on the default (TPU) backend, an
+    # ad-hoc compile that can hang while the tunnel helper is wedged
+    # (CLAUDE.md rule 6). D's within-step sub-updates (disc_steps > 1) span
+    # a fraction of one train step's horizon; the logged value is the
+    # train-step-boundary one.
+    from action_conditioned_gans_tpu.train.state import lr_value
 
-    g_sched, d_sched = make_lr_schedule(t, t.g_lr), make_lr_schedule(t, t.d_lr)
+    schedule_on = not (t.warmup_steps == 0 and t.lr_schedule == "constant")
 
     def lr_metrics(step_done: int) -> dict:
-        if isinstance(g_sched, float):
+        if not schedule_on:
             return {}
         # The schedule counter is the number of COMPLETED optimizer updates
         # when the step ran; the last step in this call used step_done - 1.
         return {
-            "g_lr": float(g_sched(step_done - 1)),
-            "d_lr": float(d_sched(step_done - 1)),
+            "g_lr": lr_value(t, t.g_lr, step_done - 1),
+            "d_lr": lr_value(t, t.d_lr, step_done - 1),
         }
 
     metrics = {}

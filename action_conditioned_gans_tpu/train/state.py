@@ -84,7 +84,7 @@ def scale_by_adam_moment_dtype(
     return optax.GradientTransformation(init, update)
 
 
-def make_lr_schedule(t, peak_lr: float):
+def make_lr_schedule(t, peak_lr: float, updates_per_step: int = 1):
     """Resolve TrainConfig's schedule knobs to an lr for ``peak_lr``.
 
     Returns the plain float when the config asks for constant-no-warmup —
@@ -92,6 +92,11 @@ def make_lr_schedule(t, peak_lr: float):
     is preserved bit-for-bit; otherwise an ``optax`` schedule callable.
     The decay horizon starts AFTER warmup and the final value holds
     (training past ``warmup + decay`` steps continues at the floor).
+
+    ``updates_per_step``: how many optimizer updates this schedule's owner
+    takes per TRAIN step (D takes ``disc_steps``). The optax counter ticks
+    per UPDATE, so horizons are scaled by it — warmup_steps/lr_decay_steps
+    always mean train steps, whatever disc_steps is.
     """
     if t.lr_schedule not in ("constant", "linear", "cosine"):
         raise ValueError(
@@ -100,7 +105,9 @@ def make_lr_schedule(t, peak_lr: float):
         )
     if t.warmup_steps == 0 and t.lr_schedule == "constant":
         return peak_lr
-    decay = t.lr_decay_steps or max(t.total_steps - t.warmup_steps, 1)
+    k = max(updates_per_step, 1)
+    warmup = t.warmup_steps * k
+    decay = (t.lr_decay_steps or max(t.total_steps - t.warmup_steps, 1)) * k
     end = peak_lr * t.lr_end_factor
     if t.lr_schedule == "constant":
         body = optax.constant_schedule(peak_lr)
@@ -110,10 +117,37 @@ def make_lr_schedule(t, peak_lr: float):
         body = optax.cosine_decay_schedule(
             peak_lr, decay, alpha=t.lr_end_factor
         )
-    if t.warmup_steps == 0:
+    if warmup == 0:
         return body
-    warmup = optax.linear_schedule(0.0, peak_lr, t.warmup_steps)
-    return optax.join_schedules([warmup, body], [t.warmup_steps])
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, peak_lr, warmup), body], [warmup]
+    )
+
+
+def lr_value(t, peak_lr: float, count: int) -> float:
+    """Pure-Python mirror of ``make_lr_schedule`` in TRAIN-STEP units.
+
+    Used by the host loop to stamp effective lrs into log lines WITHOUT
+    touching the device: evaluating the optax schedule eagerly would
+    dispatch tiny jnp programs on the default (TPU) backend — exactly the
+    ad-hoc-compile hang the platform rules forbid (CLAUDE.md rule 6).
+    Equality with the optax schedule is pinned by test.
+    """
+    if t.warmup_steps == 0 and t.lr_schedule == "constant":
+        return peak_lr
+    import math
+
+    w = t.warmup_steps
+    if count < w:
+        return peak_lr * count / w
+    if t.lr_schedule == "constant":
+        return peak_lr
+    decay = t.lr_decay_steps or max(t.total_steps - w, 1)
+    frac = min((count - w) / decay, 1.0)
+    end = peak_lr * t.lr_end_factor
+    if t.lr_schedule == "linear":
+        return peak_lr + (end - peak_lr) * frac
+    return end + (peak_lr - end) * 0.5 * (1.0 + math.cos(math.pi * frac))
 
 
 def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
@@ -126,8 +160,8 @@ def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.Gr
     flat = t.flatten_optimizer and cfg.mesh.model <= 1
     moment_dtype = jnp.dtype(t.adam_moment_dtype)
 
-    def tx(peak_lr: float) -> optax.GradientTransformation:
-        lr = make_lr_schedule(t, peak_lr)
+    def tx(peak_lr: float, updates_per_step: int = 1) -> optax.GradientTransformation:
+        lr = make_lr_schedule(t, peak_lr, updates_per_step)
         if moment_dtype == jnp.float32:
             inner = optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2)
         else:
@@ -147,7 +181,8 @@ def make_optimizers(cfg: Config) -> Tuple[optax.GradientTransformation, optax.Gr
             )
         return optax.flatten(inner) if flat else inner
 
-    return tx(t.g_lr), tx(t.d_lr)
+    # D's optax counter ticks disc_steps times per train step.
+    return tx(t.g_lr), tx(t.d_lr, max(t.disc_steps, 1))
 
 
 def init_state(cfg: Config, rng: jax.Array) -> TrainState:

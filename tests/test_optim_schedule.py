@@ -265,3 +265,40 @@ def test_clip_and_schedule_train_and_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_d_schedule_horizons_scale_with_disc_steps():
+    """D's optax counter ticks disc_steps times per train step, so its
+    schedule horizons scale by disc_steps — warmup_steps always means
+    TRAIN steps for both optimizers."""
+    t = TrainConfig(warmup_steps=10, total_steps=100, disc_steps=2)
+    d_sched = make_lr_schedule(t, 1.0, updates_per_step=t.disc_steps)
+    # After 1 train step = 2 D updates: warmup fraction 2/20.
+    assert float(d_sched(2)) == pytest.approx(0.1)
+    assert float(d_sched(20)) == pytest.approx(1.0)  # warmup ends at step 10
+    g_sched = make_lr_schedule(t, 1.0)
+    assert float(g_sched(10)) == pytest.approx(1.0)
+
+
+def test_lr_value_matches_optax_schedule():
+    """The host loop's pure-Python lr_value mirrors the optax schedule
+    exactly (it must never touch the device — platform rule 6)."""
+    from action_conditioned_gans_tpu.train.state import lr_value
+
+    for kind in ("constant", "linear", "cosine"):
+        for warmup in (0, 7):
+            t = TrainConfig(
+                lr_schedule=kind,
+                warmup_steps=warmup,
+                lr_decay_steps=40,
+                lr_end_factor=0.07,
+                total_steps=200,
+            )
+            sched = make_lr_schedule(t, 3e-4)
+            for count in (0, 1, 6, 7, 20, 47, 46, 48, 100, 199):
+                want = (
+                    sched if isinstance(sched, float) else float(sched(count))
+                )
+                got = lr_value(t, 3e-4, count)
+                assert got == pytest.approx(want, rel=1e-6, abs=1e-12), (
+                    kind, warmup, count)

@@ -167,6 +167,23 @@ def test_oversized_body_is_refused(live_server):
         conn.close()
 
 
+def test_negative_content_length_is_refused(live_server):
+    """Negative Content-Length would turn rfile.read into read-until-EOF —
+    a handler-thread DoS; must 400 immediately instead."""
+    import http.client
+
+    url, _, _ = live_server
+    conn = http.client.HTTPConnection(url.split("//")[1])
+    try:
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        r = conn.getresponse()
+        assert r.status == 400
+    finally:
+        conn.close()
+
+
 def test_cli_serve_requires_explicit_source():
     """Bare `acgan serve` must refuse (cfg.workdir's /tmp default would
     otherwise silently serve a stale checkpoint)."""

@@ -80,3 +80,10 @@ def test_spectral_step_trains():
     assert all(np.isfinite(float(v)) for v in m.values())
     state, m = step(state, make_batch(cfg, seed=1), jax.random.PRNGKey(2))
     assert int(state.step) == 2
+
+
+def test_sn_iters_validated():
+    from action_conditioned_gans_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="sn_iters"):
+        ModelConfig(sn_iters=0)
