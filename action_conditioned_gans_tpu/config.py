@@ -251,6 +251,11 @@ class TrainConfig:
     # Generator reconstruction loss: g_loss = adv + recon_weight * recon.
     recon_weight: float = 100.0
     recon_type: str = "l2"  # "l2" | "l1"
+    # Adversarial loss family: "ce" (the reference's sigmoid cross-entropy,
+    # softplus form) or "hinge" (Lim & Ye 2017 — the SN-GAN pairing:
+    # D: relu(1∓logit) margins, G: -E[D(fake)]). Incompatible with
+    # d_label_smooth (a CE concept; rejected at step build).
+    gan_loss: str = "ce"
     # D updates per G update (reference alternates 1:1, SURVEY.md §4.1).
     disc_steps: int = 1
     # R1 gradient penalty on the discriminator (zero-centered GP at the

@@ -42,6 +42,21 @@ def generator_adv_loss(fake_logits: jax.Array) -> jax.Array:
     return jnp.mean(jax.nn.softplus(-fake_logits.astype(jnp.float32)))
 
 
+def discriminator_hinge_loss(
+    real_logits: jax.Array, fake_logits: jax.Array
+) -> jax.Array:
+    """Hinge GAN loss for D (Lim & Ye 2017; the SN-GAN pairing):
+    E[relu(1 - D(real))] + E[relu(1 + D(fake))]."""
+    real = jnp.mean(jax.nn.relu(1.0 - real_logits.astype(jnp.float32)))
+    fake = jnp.mean(jax.nn.relu(1.0 + fake_logits.astype(jnp.float32)))
+    return real + fake
+
+
+def generator_hinge_adv_loss(fake_logits: jax.Array) -> jax.Array:
+    """Hinge G loss: -E[D(fake)] (linear — no saturation to escape)."""
+    return -jnp.mean(fake_logits.astype(jnp.float32))
+
+
 def reconstruction_loss(pred: jax.Array, target: jax.Array, kind: str = "l2") -> jax.Array:
     diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
     if kind == "l2":

@@ -58,6 +58,15 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
     # Differentiable D-input augmentation policy (() = off); validated here
     # so a typo'd op name fails at build, not mid-training.
     aug_ops = augment.parse_policy(t.d_augment)
+    if t.gan_loss not in ("ce", "hinge"):
+        raise ValueError(
+            f"unknown gan_loss {t.gan_loss!r} (expected 'ce' or 'hinge')"
+        )
+    if t.gan_loss == "hinge" and t.d_label_smooth > 0:
+        raise ValueError(
+            "d_label_smooth is a cross-entropy concept; unset it (or use "
+            "gan_loss='ce') — silently ignoring it would misreport the run"
+        )
 
     def g_apply(params, frame, action, state):
         return gen.apply({"params": params}, frame, action, state, axis_name=axis_name)
@@ -198,9 +207,12 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             else:
                 real_logits = d_apply(d_params, real, cond, act, st)
                 fake_logits = d_apply(d_params, fake_next, cond_fake, act, st)
-            loss = L.discriminator_loss(
-                real_logits, fake_logits, t.d_label_smooth
-            )
+            if t.gan_loss == "hinge":
+                loss = L.discriminator_hinge_loss(real_logits, fake_logits)
+            else:
+                loss = L.discriminator_loss(
+                    real_logits, fake_logits, t.d_label_smooth
+                )
             real_acc, fake_acc = L.discriminator_accuracy(real_logits, fake_logits)
             r1 = jnp.zeros((), jnp.float32)
             if t.r1_weight > 0:
@@ -319,7 +331,11 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             # RAW prediction against the raw target.
             d_in, cond_in = augment.apply(aug_ops, u_c, preds_c, cond_c)
             fake_logits = d_apply(d_params, d_in, cond_in, act_c, st_c)
-            adv = L.generator_adv_loss(fake_logits)
+            adv = (
+                L.generator_hinge_adv_loss(fake_logits)
+                if t.gan_loss == "hinge"
+                else L.generator_adv_loss(fake_logits)
+            )
             recon = L.reconstruction_loss(preds_c, real_c, t.recon_type)
             return adv + t.recon_weight * recon, (adv, recon)
 

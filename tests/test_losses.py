@@ -101,3 +101,42 @@ def test_label_smoothing_through_train_step():
     state = init_state(cfg, jax.random.PRNGKey(0))
     _, m = jit_train_step(cfg)(state, make_batch(cfg), jax.random.PRNGKey(1))
     assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_hinge_losses():
+    """Hinge math pins: margins relu(1-real)+relu(1+fake) for D, -mean for
+    G; and the knob trains through the fused step while rejecting the
+    CE-only label-smooth combination."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from action_conditioned_gans_tpu.train import losses as L
+
+    real = jnp.array([2.0, 0.5, -1.0], jnp.float32)
+    fake = jnp.array([-2.0, 0.5, 1.0], jnp.float32)
+    want_d = np.mean([0.0, 0.5, 2.0]) + np.mean([0.0, 1.5, 2.0])
+    np.testing.assert_allclose(
+        float(L.discriminator_hinge_loss(real, fake)), want_d, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(L.generator_hinge_adv_loss(fake)), -float(np.mean([-2.0, 0.5, 1.0])),
+        rtol=1e-6,
+    )
+
+    from tests.test_train_step import make_batch, tiny_config
+    from action_conditioned_gans_tpu.train import init_state
+    from action_conditioned_gans_tpu.train.step import jit_train_step
+
+    cfg = tiny_config(gan_loss="hinge")
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    _, m = jit_train_step(cfg)(state, make_batch(cfg), jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in m.values())
+
+    with pytest.raises(ValueError, match="d_label_smooth"):
+        jit_train_step(tiny_config(gan_loss="hinge", d_label_smooth=0.1))
+    with pytest.raises(ValueError, match="gan_loss"):
+        jit_train_step(tiny_config(gan_loss="wasserstein"))
