@@ -68,4 +68,33 @@ run cache_cold 600 env ACGAN_BENCH_DEADLINE=540 ACGAN_BENCH_STEPS=8 \
 run cache_warm 600 env ACGAN_BENCH_DEADLINE=540 ACGAN_BENCH_STEPS=8 \
   ACGAN_COMPILE_CACHE_DIR=/tmp/r4_cc python bench.py
 
+# 6. Price the session-4 GAN-stability knobs at headline geometry (24-step
+# probes; honest cost rows for BASELINE.md — each adds documented work:
+# R1 = one extra D fwd+bwd + 2nd-order, augment = elementwise transforms,
+# SN = a few matvecs/layer).
+run bench_r1 900 python - <<'EOF'
+import dataclasses, json
+from action_conditioned_gans_tpu.bench import run_bench
+from action_conditioned_gans_tpu.config import get_preset
+cfg = get_preset("config1")
+cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, r1_weight=10.0))
+print(json.dumps(run_bench(cfg, steps=24), default=str))
+EOF
+run bench_augment 900 python - <<'EOF'
+import dataclasses, json
+from action_conditioned_gans_tpu.bench import run_bench
+from action_conditioned_gans_tpu.config import get_preset
+cfg = get_preset("config1")
+cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, d_augment="color,translation,cutout"))
+print(json.dumps(run_bench(cfg, steps=24), default=str))
+EOF
+run bench_sn 900 python - <<'EOF'
+import dataclasses, json
+from action_conditioned_gans_tpu.bench import run_bench
+from action_conditioned_gans_tpu.config import get_preset
+cfg = get_preset("config1")
+cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, d_spectral_norm=True))
+print(json.dumps(run_bench(cfg, steps=24), default=str))
+EOF
+
 echo "=== queue done $(date -u +%H:%M:%S); file-source + quality runs are separate scripts ==="
