@@ -50,7 +50,10 @@ import jax.numpy as jnp
 FORMAT_VERSION = 1
 _META = "meta.json"
 _PREDICT = "predict.jaxexport"
+# Legacy single-horizon member name (artifacts exported before multi-horizon
+# support); new artifacts write one member per horizon via _ROLLOUT_T.
 _ROLLOUT = "rollout.jaxexport"
+_ROLLOUT_T = "rollout_T{t}.jaxexport"
 
 
 def _predict_fn(cfg, g_params):
@@ -110,14 +113,22 @@ def export_stablehlo(
 
     ``platforms`` lists every backend the artifact must load on (exported
     once, the module carries per-platform lowerings where they differ).
-    ``rollout_length > 0`` additionally exports a T-step autoregressive
-    rollout program (T is static — ``lax.scan`` length is part of the
-    program; export one artifact per serving horizon or use ``predict``
-    loops host-side for variable T).
+    ``rollout_length`` additionally exports T-step autoregressive rollout
+    programs (T is static — ``lax.scan`` length is part of the program):
+    an int for one horizon, or a sequence of ints to bundle SEVERAL
+    horizons into the one artifact (one program per T; ``AotPredictor``
+    dispatches on the action sequence length). 0 / empty = predict-only.
 
     Returns the ``meta.json`` dict (shapes, platforms, sizes).
     """
     m = cfg.model
+    horizons = (
+        [int(rollout_length)] if isinstance(rollout_length, int) else
+        sorted({int(x) for x in rollout_length})
+    )
+    horizons = [t for t in horizons if t > 0]
+    if any(t < 0 for t in ([rollout_length] if isinstance(rollout_length, int) else rollout_length)):
+        raise ValueError(f"negative rollout_length in {rollout_length!r}")
     # Weights are baked in as f32 constants; inputs are f32 (the generator
     # casts to its compute_dtype internally, same as the live Predictor).
     g_params = jax.device_get(g_params)
@@ -138,36 +149,39 @@ def export_stablehlo(
         "model_config": dataclasses.asdict(m),
         "platforms": list(platforms),
         "state_dim": m.state_dim,
-        "rollout_length": int(rollout_length),
+        # Back-compat display field (max horizon); the full set is
+        # rollout_lengths and the loader dispatches on it.
+        "rollout_length": max(horizons) if horizons else 0,
+        "rollout_lengths": horizons,
         "predict_in": [str(s.shape) for s in args],
         "jax_version": jax.__version__,
     }
 
-    exp_rollout = None
-    if rollout_length > 0:
-        # The rollout reuses the SAME symbolic scope as `b` above so the
-        # batch dims unify; T is concrete.
+    exp_rollouts = {}
+    for t_len in horizons:
+        # Each rollout reuses the SAME symbolic scope as `b` above so the
+        # batch dims unify; T is concrete per program.
         rargs = (
             frame,
-            jax.ShapeDtypeStruct((b, rollout_length, m.action_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_len, m.action_dim), jnp.float32),
         )
         if m.state_dim > 0:
             rargs += (
-                jax.ShapeDtypeStruct(
-                    (b, rollout_length, m.state_dim), jnp.float32
-                ),
+                jax.ShapeDtypeStruct((b, t_len, m.state_dim), jnp.float32),
             )
-        exp_rollout = jax.export.export(
+        exp_rollouts[t_len] = jax.export.export(
             jax.jit(_rollout_fn(cfg, g_params)), platforms=list(platforms)
         )(*rargs)
-        meta["rollout_in"] = [str(s.shape) for s in rargs]
+        meta.setdefault("rollout_in", {})[str(t_len)] = [
+            str(s.shape) for s in rargs
+        ]
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_DEFLATED) as z:
         z.writestr(_PREDICT, exp_predict.serialize())
-        if exp_rollout is not None:
-            z.writestr(_ROLLOUT, exp_rollout.serialize())
+        for t_len, exp in exp_rollouts.items():
+            z.writestr(_ROLLOUT_T.format(t=t_len), exp.serialize())
         z.writestr(_META, json.dumps(meta, indent=1))
     data = buf.getvalue()
     # Atomic publish: an interrupted export must not leave a truncated zip
@@ -206,12 +220,23 @@ class AotPredictor:
                     f"(this loader speaks {FORMAT_VERSION})"
                 )
             self._predict = jax.jit(jax.export.deserialize(z.read(_PREDICT)).call)
-            self._rollout = (
-                jax.jit(jax.export.deserialize(z.read(_ROLLOUT)).call)
-                if _ROLLOUT in z.namelist()
-                else None
-            )
+            # One rollout program per exported horizon (rollout_T{t});
+            # legacy single-horizon artifacts stored one member under the
+            # old name, keyed by meta["rollout_length"].
+            self._rollouts = {}
+            for name in z.namelist():
+                if name.startswith("rollout_T") and name.endswith(".jaxexport"):
+                    t_len = int(name[len("rollout_T") : -len(".jaxexport")])
+                    self._rollouts[t_len] = jax.jit(
+                        jax.export.deserialize(z.read(name)).call
+                    )
+            if not self._rollouts and _ROLLOUT in z.namelist():
+                self._rollouts[int(self.meta["rollout_length"])] = jax.jit(
+                    jax.export.deserialize(z.read(_ROLLOUT)).call
+                )
         self.state_dim = int(self.meta["state_dim"])
+        self.rollout_lengths = sorted(self._rollouts)
+        # Back-compat attribute: the max exported horizon (0 = none).
         self.rollout_length = int(self.meta["rollout_length"])
         self.mesh = mesh
 
@@ -239,19 +264,20 @@ class AotPredictor:
         return self._predict(*self._args(frame, action, state=state))
 
     def rollout(self, frame0, actions, states=None):
-        """Autoregressive rollout at the exported horizon."""
-        if self._rollout is None:
+        """Autoregressive rollout, dispatched on T to an exported horizon."""
+        if not self._rollouts:
             raise ValueError(
                 "artifact has no rollout program (export with rollout_length > 0)"
             )
-        if actions.shape[1] != self.rollout_length:
+        t_len = actions.shape[1]
+        if t_len not in self._rollouts:
             raise ValueError(
-                f"artifact rollout horizon is {self.rollout_length}, "
-                f"got actions with T={actions.shape[1]}"
+                f"artifact rollout horizons are {self.rollout_lengths}, "
+                f"got actions with T={t_len}"
             )
-        if states is not None and states.shape[1] != self.rollout_length:
+        if states is not None and states.shape[1] != t_len:
             raise ValueError(
-                f"artifact rollout horizon is {self.rollout_length}, "
-                f"got states with T={states.shape[1]}"
+                f"states horizon T={states.shape[1]} does not match the "
+                f"actions horizon T={t_len}"
             )
-        return self._rollout(*self._args(frame0, actions, state=states))
+        return self._rollouts[t_len](*self._args(frame0, actions, state=states))

@@ -45,6 +45,19 @@ def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
     return cfg
 
 
+def _rollout_lengths(raw: str):
+    """--rollout-length value: 'T' or 'T1,T2,...' -> list of horizons."""
+    try:
+        out = [int(x) for x in raw.split(",") if x.strip()]
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"{raw!r} is not an int or comma-list of ints"
+        )
+    if any(t < 0 for t in out):
+        raise argparse.ArgumentTypeError(f"negative horizon in {raw!r}")
+    return [t for t in out if t > 0]
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="acgan", description=__doc__)
     p.add_argument(
@@ -127,10 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--rollout-length",
-        type=int,
-        default=0,
-        help="export --format stablehlo: also export a T-step autoregressive "
-        "rollout program at this horizon (0 = predict-only)",
+        type=_rollout_lengths,
+        default=[],
+        metavar="T[,T...]",
+        help="export --format stablehlo: also export T-step autoregressive "
+        "rollout program(s) — one per comma-separated horizon, bundled in "
+        "the one artifact (AotPredictor dispatches on the action length); "
+        "0/empty = predict-only",
     )
     p.add_argument(
         "--artifact",
@@ -283,7 +299,7 @@ def main(argv=None) -> int:
     if args.command in ("sample", "eval", "export"):
         if (
             args.command == "export"
-            and args.rollout_length > 0
+            and len(args.rollout_length) > 0
             and args.format != "stablehlo"
         ):
             # Pure-argument validation — refuse BEFORE the (potentially
@@ -359,7 +375,7 @@ def main(argv=None) -> int:
                             "ema": bool(args.ema),
                             "format": "stablehlo",
                             "platforms": meta["platforms"],
-                            "rollout_length": meta["rollout_length"],
+                            "rollout_lengths": meta["rollout_lengths"],
                             "bytes": meta["bytes"],
                         }
                     )

@@ -108,7 +108,7 @@ def test_state_conditioned_artifact(tmp_path):
         p.predict(frame, action)
     # A wrong STATES horizon gets the same friendly error as actions
     # (previously it surfaced as an opaque shape-refinement failure).
-    with pytest.raises(ValueError, match="horizon.*states"):
+    with pytest.raises(ValueError, match="states horizon"):
         p.rollout(frame, actions, sts[:, :1])
 
 
@@ -215,7 +215,7 @@ def test_cli_export_stablehlo(tmp_path, capsys):
     )
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec["format"] == "stablehlo" and rec["rollout_length"] == 2
+    assert rec["format"] == "stablehlo" and rec["rollout_lengths"] == [2]
 
     live = Predictor(cfg, state.g_params)
     p = AotPredictor(out)
@@ -225,3 +225,29 @@ def test_cli_export_stablehlo(tmp_path, capsys):
         np.asarray(live.predict(frame, action)),
         atol=1e-6,
     )
+
+
+def test_multi_horizon_artifact(tmp_path):
+    """One artifact bundling several rollout horizons: rollout() dispatches
+    on the action sequence length; an unexported T errors listing the
+    available horizons."""
+    cfg = tiny_config(str(tmp_path))
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "g.aot")
+    meta = export_stablehlo(cfg, state.g_params, path, rollout_length=[4, 2])
+    assert meta["rollout_lengths"] == [2, 4]
+    assert meta["rollout_length"] == 4  # back-compat display field = max
+
+    live = Predictor(cfg, state.g_params)
+    p = AotPredictor(path)
+    assert p.rollout_lengths == [2, 4]
+    for t in (2, 4):
+        frame, actions, _ = _inputs(2, t=t)
+        np.testing.assert_allclose(
+            np.asarray(p.rollout(frame, actions)),
+            np.asarray(live.rollout(frame, actions)),
+            atol=1e-6,
+        )
+    frame, actions, _ = _inputs(2, t=3)
+    with pytest.raises(ValueError, match=r"horizons are \[2, 4\]"):
+        p.rollout(frame, actions)
