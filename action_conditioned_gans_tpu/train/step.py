@@ -174,11 +174,22 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
             ``body_fn(carry, *chunk)`` receives the full tuple with Nones
             re-inserted in place, so both the D and G chunk bodies share one
             unpacking convention.
+
+            ``carry0`` leaves must be fresh replicated zeros: under
+            shard_map's varying-manual-axes typing (check_vma=True) the
+            accumulators come out of the body data-VARYING (they mix in the
+            sharded chunk), so the replicated inits are pcast to varying
+            up front or the scan's carry types cannot match (caught by the
+            r4 config5 preset sweep — disc_microbatch on the DP path).
             """
             present = [a is not None for a in arrays]
             xs = tuple(
                 a.reshape((nc, -1) + a.shape[1:]) for a in arrays if a is not None
             )
+            if axis_name is not None:
+                carry0 = jax.tree_util.tree_map(
+                    lambda x: lax.pcast(x, axis_name, to="varying"), carry0
+                )
 
             def body(carry, chunk):
                 it = iter(chunk)

@@ -276,3 +276,65 @@ def test_dp_step_rejects_model_axis():
     mesh = make_mesh(MeshConfig(data=2, model=2))
     with pytest.raises(ValueError, match="gspmd"):
         make_dp_train_step(cfg, mesh)
+
+
+def test_disc_microbatch_under_dp_matches_single_device():
+    """Regression for the r4 config5 preset-sweep failure: the microbatch
+    chunk scans' scalar accumulators start as replicated zeros but come out
+    of the body data-varying, so under shard_map's check_vma typing the scan
+    carry types mismatched ("float32[] vs float32[]{V:data}") and the DP
+    path could not even trace. _chunk_scan now pcasts the carry inits to
+    varying; pin both that it traces AND that the chunked DP step still
+    equals the unchunked single-device step (grad-accumulation exactness
+    composed with the psum reduction)."""
+    import dataclasses
+
+    cfg = tiny_config(batch_size=8)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, seq_len=3),
+        train=dataclasses.replace(
+            cfg.train, rollout_length=2, disc_microbatch=1
+        ),
+    )
+    mesh = make_mesh(cfg.mesh)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    cfg_full = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, disc_microbatch=0)
+    )
+    state_sd = init_state(cfg_full, jax.random.PRNGKey(0))
+    state_dp = init_state(cfg, jax.random.PRNGKey(0))
+    new_sd, m_sd = jit_train_step(cfg_full)(state_sd, batch, rng)
+    new_dp, m_dp = make_dp_train_step(cfg, mesh)(state_dp, shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(float(m_sd["d_loss"]), float(m_dp["d_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m_sd["g_loss"]), float(m_dp["g_loss"]), rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_sd.g_params),
+        jax.tree_util.tree_leaves(new_dp.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_r1_penalty_microbatched_under_dp_runs():
+    """R1's second-order grads through the microbatch chunk scan must also
+    type-check under shard_map's vma rules (the r1 accumulator shares the
+    pcast fix) and produce finite losses."""
+    import dataclasses
+
+    cfg = tiny_config(batch_size=8)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, seq_len=3),
+        train=dataclasses.replace(
+            cfg.train, rollout_length=2, disc_microbatch=2, r1_weight=1.0
+        ),
+    )
+    mesh = make_mesh(cfg.mesh)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    _, metrics = make_dp_train_step(cfg, mesh)(
+        state, shard_batch(make_batch(cfg), mesh), jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert float(metrics["d_r1"]) > 0.0
