@@ -268,6 +268,9 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                     cg,
                 ), None
 
+            # carry0 leaves must be FRESH replicated zeros (_chunk_scan
+            # pcasts them to varying unconditionally; an already-varying
+            # leaf would fail the cast — ADVICE r4).
             zero_g = jax.tree_util.tree_map(jnp.zeros_like, d_params)
             zero = jnp.zeros((), jnp.float32)
             (loss, ra, fa, r1, grads), _ = _chunk_scan(
@@ -363,6 +366,8 @@ def make_train_step(cfg: Config, axis_name: Optional[str] = None):
                 cl, ca, cr = carry
                 return (cl + l / nc, ca + a / nc, cr + r / nc), dp * (1.0 / nc)
 
+            # carry0 leaves must be fresh replicated zeros (see the D-side
+            # call above / _chunk_scan docstring).
             zero = jnp.zeros((), jnp.float32)
             (g_loss, g_adv, g_recon), dp_chunks = _chunk_scan(
                 (flat_preds, real_next, cond_frames, flat_actions, flat_states, u_g),

@@ -57,12 +57,16 @@ BENCH_OVERRIDES = os.environ.get(
 # headline mode and waits ~11 min, but --presets sweeps five geometries
 # (256² compiles included, ~2000 s measured in r2) and --infer three — a
 # 480 s default would watchdog-kill a healthy sweep mid-flight.
+# r5 (VERDICT r4 next-step 1): headline 480 → 600 s. The driver's observed
+# patience is ~11 min (660 s); 600 s keeps a 60 s print margin while buying
+# the canary ~2 more recovery retries per capture — the r3/r4 blanks were
+# both outages that a longer in-window wait might have survived.
 _MODE = (
     "presets"
     if "--presets" in sys.argv
     else ("infer" if "--infer" in sys.argv else "headline")
 )
-_DEADLINE_DEFAULTS = {"headline": "480", "presets": "2100", "infer": "1100"}
+_DEADLINE_DEFAULTS = {"headline": "600", "presets": "2100", "infer": "1100"}
 DEADLINE = int(os.environ.get("ACGAN_BENCH_DEADLINE", _DEADLINE_DEFAULTS[_MODE]))
 CANARY_TIMEOUT = int(os.environ.get("ACGAN_BENCH_CANARY_TIMEOUT", "90"))
 CANARY_RETRY = int(os.environ.get("ACGAN_BENCH_CANARY_RETRY", "45"))

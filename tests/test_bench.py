@@ -276,7 +276,9 @@ def test_bench_default_deadline_fits_driver_patience():
     src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
     m = re.search(r"\"headline\":\s*\"(\d+)\"", src)
     assert m, "bench.py must define a headline-mode deadline default"
-    assert int(m.group(1)) <= 540
+    # r5 (VERDICT r4 next-step 1): raised 480 -> 600 for more in-window
+    # canary retries; must still print before the ~660 s driver patience.
+    assert 480 <= int(m.group(1)) <= 620
     # The sweep modes must NOT inherit the headline deadline (r4 review: a
     # healthy --presets run needs ~2000s and was watchdog-killed at 480).
     mp = re.search(r"\"presets\":\s*\"(\d+)\"", src)

