@@ -208,8 +208,26 @@ def train(
             step_idx, "gt_final_frame", np.asarray(held_out["frames"][:, -1])
         )
 
-    profile_start = start + 3 * k if profile_steps > 0 else -1
+    # The profiler window is evaluated at k-step dispatch boundaries only.
+    # 3 warmup dispatches keep compile + cache-warm out of the trace, but a
+    # short run must still capture SOMETHING: clamp the warmup so at least
+    # one traced dispatch fits before `total` (r5: config3's k=32 with
+    # --steps 40 put profile_start at 96 and silently captured nothing).
+    profile_start = -1
+    if profile_steps > 0 and total > start:
+        last_dispatch_top = start + ((total - start - 1) // k) * k
+        warmup = 3 * k
+        if start + warmup > last_dispatch_top:
+            warmup = last_dispatch_top - start
+            print(
+                f"[acgan] profile warmup clamped to {warmup} step(s): the run "
+                f"is too short for the 3x{k}-step warmup; expect compile/"
+                "warmup noise in the trace (raise --steps or lower "
+                "train.steps_per_call for a clean window)"
+            )
+        profile_start = start + warmup
     profile_stop = -1
+    trace_open = False
 
     def crossed(before: int, after: int, every: int) -> bool:
         return every > 0 and (after // every) > (before // every)
@@ -245,10 +263,12 @@ def train(
                 print(f"[acgan] capturing {profile_steps}-step trace -> {tracedir}")
                 jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
                 jax.profiler.start_trace(tracedir)
+                trace_open = True
                 profile_start, profile_stop = -1, done + profile_steps
             if profile_stop >= 0 and done >= profile_stop:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
+                trace_open = False
                 profile_stop = -1
                 print("[acgan] trace captured")
             batch = dataset.batch_at(call)
@@ -269,6 +289,13 @@ def train(
                 break
         total = done
     finally:
+        if trace_open:
+            # The loop can exit (end-of-run, SIGTERM, exception) with the
+            # window still open — e.g. profile_stop landed past `total`.
+            # Flush rather than drop the capture.
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            print("[acgan] trace captured (flushed at loop exit)")
         signal.signal(signal.SIGTERM, prev_handler)
         dataset_close = getattr(dataset, "close", None)
         if dataset_close is not None:

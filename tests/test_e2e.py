@@ -110,3 +110,25 @@ def test_in_training_eval_logs_ema_scalars_iff_ema_on(tmp_path, capsys):
             assert all(np.isfinite(l["eval_psnr_ema"]) for l in has_eval)
         else:
             assert all("eval_psnr_ema" not in l for l in has_eval)
+
+
+def test_profile_capture_writes_xplane_even_when_run_is_short(tmp_path, capsys):
+    """--profile-steps on a run SHORTER than the 3-dispatch warmup must
+    still capture a trace (r5: config3's steps_per_call=32 with --steps 40
+    silently wrote nothing) — the warmup is clamped, the window is flushed
+    at loop exit if it extends past total, and an xplane.pb lands under
+    <workdir>/profile for `acgan profile-report`."""
+    import glob
+
+    cfg = tiny_config(str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_call=4)
+    )
+    # total=8 < 3*k=12 warmup: old code never started the trace; the
+    # profile_stop (4+8=12) also lands past total, exercising the flush.
+    train(cfg, max_steps=8, profile_steps=8, workdir=str(tmp_path))
+    out = capsys.readouterr().out
+    assert "profile warmup clamped" in out
+    assert "trace captured" in out
+    pbs = glob.glob(os.path.join(str(tmp_path), "profile", "**", "*.xplane.pb"), recursive=True)
+    assert pbs, "no xplane.pb written under <workdir>/profile"
