@@ -13,6 +13,13 @@
 set -u
 cd "$(dirname "$0")/.."
 . scripts/r4_lib.sh
+
+# r5: run the short follow-up legs (xplane retries + compile-cache probe,
+# VERDICT rank 2) ahead of these multi-hour legs — this script is the
+# watcher's next slot after r5_onchip.sh, so this is the earliest
+# single-tenant window for them.
+bash scripts/r5_followup.sh now || true
+
 LOG=${LOG:-/tmp/r4_filesource}
 DATA=${DATA:-/tmp/r4_bair_fixture}
 mkdir -p "$LOG"

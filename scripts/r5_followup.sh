@@ -14,14 +14,17 @@
 #    executables DID serialize. cold-vs-warm compile_s decides whether
 #    ACGAN_COMPILE_CACHE_DIR becomes a driver-facing default.
 #
-# Waits for the r5 watcher queue (one TPU process at a time, rule 2).
+# Invoked as `r5_followup.sh now` from the head of r4_filesource.sh so the
+# short xplane legs (VERDICT rank 2) run BEFORE the multi-hour file-source/
+# quality legs; standalone invocation waits for the r5 watcher queue (one
+# TPU process at a time, rule 2).
 set -u
 cd "$(dirname "$0")/.."
 . scripts/r4_lib.sh
 LOG=${LOG:-/tmp/r5_followup}
 mkdir -p "$LOG"
 
-if [ -f /tmp/r5_watch.pid ]; then
+if [ "${1:-}" != "now" ] && [ -f /tmp/r5_watch.pid ]; then
   wp=$(cat /tmp/r5_watch.pid)
   while kill -0 "$wp" 2>/dev/null; do
     echo "waiting for r5 watcher (pid $wp) $(date -u +%H:%M:%S)"
