@@ -283,3 +283,26 @@ def test_bench_default_deadline_fits_driver_patience():
     # healthy --presets run needs ~2000s and was watchdog-killed at 480).
     mp = re.search(r"\"presets\":\s*\"(\d+)\"", src)
     assert mp and int(mp.group(1)) >= 1800
+
+
+def test_bench_cache_dir_default_optout_override(monkeypatch, tmp_path):
+    """r5: the driver bench defaults the persistent compile cache to
+    <repo>/.compile_cache (measured on-chip: cold 20.5 s vs warm 1.7 s
+    compile, BASELINE.md r5). Empty ACGAN_COMPILE_CACHE_DIR opts out
+    (cold-compile measurements); an explicit path wins."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "driver_bench", os.path.join(repo, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.delenv("ACGAN_COMPILE_CACHE_DIR", raising=False)
+    assert mod.bench_cache_dir() == os.path.join(repo, ".compile_cache")
+    monkeypatch.setenv("ACGAN_COMPILE_CACHE_DIR", "")
+    assert (mod.bench_cache_dir() or None) is None
+    monkeypatch.setenv("ACGAN_COMPILE_CACHE_DIR", str(tmp_path))
+    assert mod.bench_cache_dir() == str(tmp_path)
