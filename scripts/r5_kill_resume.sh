@@ -8,11 +8,13 @@
 # Fix: event-driven kill — poll the workdir until the FIRST completed orbax
 # checkpoint appears (a bare-integer step dir; orbax writes tmp-suffixed
 # dirs until commit), then SIGKILL while tens of thousands of steps remain.
-# steps=65536 with checkpoint_every=2048 puts the first checkpoint ~3% into
-# the run; the kill then provably lands mid-run, and phase 2 must restore
+# STEPS (default 65536; overridable — a degraded-tunnel window may need a
+# smaller run that still kills mid-stream) with checkpoint_every=2048 puts
+# the first checkpoint a few % into the run; the kill then provably lands
+# mid-run, and phase 2 must restore
 # params + both opt states + EMA + the native reader's stream position and
 # train on to completion. Phase 2's log must show "resumed from checkpoint
-# at step N" with 0 < N < 65536 for the leg to PASS (asserted below).
+# at step N" with 0 < N < $STEPS for the leg to PASS (asserted below).
 #
 # Platform rules honored: SIGKILL on the TPU holder wedges the lease
 # ~10-15 min (CLAUDE.md rule 3) — that wedging is part of what resume must
@@ -22,6 +24,7 @@ set -u
 cd "$(dirname "$0")/.."
 . scripts/r4_lib.sh
 LOG=${LOG:-/tmp/r5_kill}
+STEPS=${STEPS:-65536}
 DATA=${DATA:-/tmp/r4_bair_fixture}
 WD=/tmp/r5_kill_wd
 CACHE=${ACGAN_COMPILE_CACHE_DIR:-/tmp/r5_cc_cli}
@@ -33,7 +36,7 @@ fi
 
 SRC_NATIVE=(--set data.source=tfrecord_native --set "data.data_dir=$DATA/data" --set data.clip_len=30)
 TRAIN=(python -m action_conditioned_gans_tpu train --preset config1
-  --workdir "$WD" --steps 65536 --set train.log_every=4096
+  --workdir "$WD" --steps "$STEPS" --set train.log_every=4096
   --set train.sample_every=0 --set train.checkpoint_every=2048
   "${SRC_NATIVE[@]}")
 
@@ -79,8 +82,8 @@ ACGAN_COMPILE_CACHE_DIR="$CACHE" timeout 1500 "${TRAIN[@]}" >"$LOG/phase2.log" 2
 rc=$?
 grep -E "resumed|cadence" "$LOG/phase2.log" | tail -3
 STEP=$(grep -oE "resumed from checkpoint at step [0-9]+" "$LOG/phase2.log" | grep -oE "[0-9]+$" || echo "")
-if [ "$rc" = 0 ] && [ -n "$STEP" ] && [ "$STEP" -gt 0 ] && [ "$STEP" -lt 65536 ]; then
-  echo "PASS: mid-run SIGKILL at step $STEP survived; resumed and ran to 65536"
+if [ "$rc" = 0 ] && [ -n "$STEP" ] && [ "$STEP" -gt 0 ] && [ "$STEP" -lt "$STEPS" ]; then
+  echo "PASS: mid-run SIGKILL at step $STEP survived; resumed and ran to $STEPS"
 else
   echo "FAIL: rc=$rc resumed_step='${STEP:-none}'"; exit 1
 fi
