@@ -18,6 +18,14 @@ message; the platform's one-TPU-process rule (CLAUDE.md rule 2) is honored by
 serializing all device work through one lock while the threaded server keeps
 slow readers from blocking health checks.
 
+``?encoding=uint8`` on either POST quantizes the response frames to uint8
+with the data pipeline's own transform pair (encode
+``round((clip(f,-1,1)+1)*127.5)``, decode ``u8/255*2-1`` — exactly what the
+TFRecord writers/readers do, so the wire precision equals the training
+data's). The r5 on-chip serve leg measured the float32 rollout response
+(63 MB at B=128, T=10, 64²) to be transport-bound; uint8 cuts the body 4×.
+The client helpers decode transparently and always return float32.
+
 Works identically over the live jit path (``infer.Predictor``) and the
 self-contained artifact (``aot.AotPredictor``) — both expose
 ``predict``/``rollout``, and ``build_predictor`` picks by CLI flags.
@@ -30,6 +38,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
+from urllib.parse import parse_qs
 
 import numpy as np
 
@@ -50,6 +59,20 @@ def _dump_npz(**arrays) -> bytes:
     buf = io.BytesIO()
     np.savez(buf, **arrays)
     return buf.getvalue()
+
+
+def encode_frames(frames: np.ndarray) -> np.ndarray:
+    """[-1,1] float → uint8, the TFRecord writers' transform
+    (data/native_tfrecord.py:236)."""
+    if frames.dtype.kind not in "fiu":  # ml_dtypes bfloat16 etc.
+        frames = frames.astype(np.float32)
+    return np.round((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+
+
+def decode_frames(frames: np.ndarray) -> np.ndarray:
+    """uint8 → [-1,1] float32, the readers' normalize
+    (data/tfrecord.py:197)."""
+    return frames.astype(np.float32) / 255.0 * 2.0 - 1.0
 
 
 def predictor_meta(predictor) -> Dict[str, Any]:
@@ -135,8 +158,16 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
                 )
                 return
             raw = self.rfile.read(n)
-            if self.path not in ("/predict", "/rollout"):
-                self._send_json(404, {"error": f"unknown path {self.path!r}"})
+            path, _, query = self.path.partition("?")
+            if path not in ("/predict", "/rollout"):
+                self._send_json(404, {"error": f"unknown path {path!r}"})
+                return
+            encoding = parse_qs(query).get("encoding", ["float32"])[-1]
+            if encoding not in ("float32", "uint8"):
+                self._send_json(
+                    400,
+                    {"error": f"unknown encoding {encoding!r} (float32|uint8)"},
+                )
                 return
             try:
                 arrays = _load_npz(raw)
@@ -151,7 +182,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
                 # fetch (np.asarray) stays INSIDE the lock: jax dispatch is
                 # async, so the predictor call alone only enqueues work.
                 with lock:
-                    if self.path == "/predict":
+                    if path == "/predict":
                         out = predictor.predict(
                             arrays["frame"],
                             arrays["action"],
@@ -163,7 +194,20 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 0) -> ThreadingH
                             arrays["actions"],
                             arrays.get("states"),
                         )
-                    body = _dump_npz(frames=np.asarray(out))
+                    out = np.asarray(out)
+                # Quantization/casting happens OUTSIDE the lock: it's
+                # host-side numpy work and must not extend the device's
+                # critical section.
+                if encoding == "uint8":
+                    out = encode_frames(out)
+                elif out.dtype.kind not in "fiu":
+                    # npz has no bfloat16 (ml_dtypes registers it as a V2
+                    # void dtype that np.load can't do math on) — the real
+                    # presets run compute_dtype=bfloat16, so the wire dtype
+                    # must not leak the device compute dtype. float32 is
+                    # exact for bf16 values.
+                    out = out.astype(np.float32)
+                body = _dump_npz(frames=out)
             except KeyError as e:
                 self._send_json(400, {"error": f"missing input array {e}"})
                 return
@@ -234,7 +278,10 @@ def _post(url: str, arrays: Dict[str, np.ndarray]) -> np.ndarray:
     )
     try:
         with urllib.request.urlopen(req) as resp:
-            return _load_npz(resp.read())["frames"]
+            frames = _load_npz(resp.read())["frames"]
+        if frames.dtype == np.uint8:  # ?encoding=uint8 response
+            frames = decode_frames(frames)
+        return frames
     except urllib.error.HTTPError as e:
         detail = e.read().decode(errors="replace")
         try:
@@ -244,15 +291,24 @@ def _post(url: str, arrays: Dict[str, np.ndarray]) -> np.ndarray:
         raise RuntimeError(f"server returned {e.code}: {detail}") from None
 
 
-def client_predict(base_url: str, frame, action, state=None) -> np.ndarray:
+def _route(base_url: str, path: str, encoding: str) -> str:
+    url = base_url.rstrip("/") + path
+    return url + (f"?encoding={encoding}" if encoding != "float32" else "")
+
+
+def client_predict(
+    base_url: str, frame, action, state=None, encoding: str = "float32"
+) -> np.ndarray:
     arrays = {"frame": np.asarray(frame), "action": np.asarray(action)}
     if state is not None:
         arrays["state"] = np.asarray(state)
-    return _post(base_url.rstrip("/") + "/predict", arrays)
+    return _post(_route(base_url, "/predict", encoding), arrays)
 
 
-def client_rollout(base_url: str, frame0, actions, states=None) -> np.ndarray:
+def client_rollout(
+    base_url: str, frame0, actions, states=None, encoding: str = "float32"
+) -> np.ndarray:
     arrays = {"frame0": np.asarray(frame0), "actions": np.asarray(actions)}
     if states is not None:
         arrays["states"] = np.asarray(states)
-    return _post(base_url.rstrip("/") + "/rollout", arrays)
+    return _post(_route(base_url, "/rollout", encoding), arrays)

@@ -87,12 +87,20 @@ def timed(fn, n):
 
 p50_p, p90_p = timed(lambda: client_predict(base, frame, action), 20)
 p50_r, p90_r = timed(lambda: client_rollout(base, frame, actions), 10)
+# ?encoding=uint8 A/B: same requests, 4x smaller response bodies — prices
+# the npz/transport share the r5 serve leg measured to dominate.
+p50_p8, p90_p8 = timed(
+    lambda: client_predict(base, frame, action, encoding="uint8"), 20)
+p50_r8, p90_r8 = timed(
+    lambda: client_rollout(base, frame, actions, encoding="uint8"), 10)
 print(json.dumps({
     "mode": mode, "backend": meta.get("backend"), "device": meta.get("device"),
     "batch": B, "rollout": T,
     "warmup_predict_s": round(warm_predict, 2), "warmup_rollout_s": round(warm_rollout, 2),
     "http_predict_p50_ms": round(p50_p, 1), "http_predict_p90_ms": round(p90_p, 1),
     "http_rollout_p50_ms": round(p50_r, 1), "http_rollout_p90_ms": round(p90_r, 1),
+    "http_predict_uint8_p50_ms": round(p50_p8, 1), "http_predict_uint8_p90_ms": round(p90_p8, 1),
+    "http_rollout_uint8_p50_ms": round(p50_r8, 1), "http_rollout_uint8_p90_ms": round(p90_r8, 1),
 }))
 EOF
 RC=$?

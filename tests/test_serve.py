@@ -97,6 +97,97 @@ def test_rollout_matches_direct_call(live_server):
     np.testing.assert_array_equal(via_http, direct)
 
 
+def test_uint8_encoding_roundtrip(live_server):
+    """?encoding=uint8: the response body shrinks ~4x and the client's
+    transparent decode lands within one quantization step (2/255 wide →
+    max error 1/255) of the float32 response."""
+    import urllib.request
+
+    from action_conditioned_gans_tpu.serve import _dump_npz
+
+    url, predictor, cfg = live_server
+    rng = np.random.default_rng(3)
+    frame = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    action = rng.standard_normal((4, cfg.model.action_dim)).astype(np.float32)
+
+    exact = client_predict(url, frame, action)
+    quant = client_predict(url, frame, action, encoding="uint8")
+    assert quant.dtype == np.float32
+    assert np.max(np.abs(quant - exact)) <= 1.0 / 255.0 + 1e-6
+
+    # The wire payload really is ~4x smaller (raw responses, same inputs).
+    body = _dump_npz(frame=frame, action=action)
+
+    def body_len(path):
+        req = urllib.request.Request(url + path, data=body)
+        with urllib.request.urlopen(req) as r:
+            return len(r.read())
+
+    n_f32, n_u8 = body_len("/predict"), body_len("/predict?encoding=uint8")
+    assert n_u8 < n_f32 / 3.5
+
+    # Rollout takes the flag too.
+    actions = rng.standard_normal((2, 3, cfg.model.action_dim)).astype(np.float32)
+    out = client_rollout(url, frame[:2], actions, encoding="uint8")
+    direct = np.asarray(predictor.rollout(frame[:2], actions))
+    assert out.shape == direct.shape
+    assert np.max(np.abs(out - direct)) <= 1.0 / 255.0 + 1e-6
+
+
+def test_bfloat16_predictor_serves_native_wire_dtypes():
+    """The real presets run compute_dtype=bfloat16; npz has no bf16 (it
+    round-trips as an unusable V2 void dtype), so the server must cast the
+    response to float32 — the wire dtype must not leak the device compute
+    dtype. Caught live by the r5 CPU verify drive against a config1-preset
+    checkpoint."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+    )
+    predictor = Predictor(cfg, make_params(cfg))
+    srv = make_server(predictor, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        rng = np.random.default_rng(4)
+        frame = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+        action = rng.standard_normal((2, cfg.model.action_dim)).astype(
+            np.float32
+        )
+        out = client_predict(url, frame, action)
+        assert out.dtype == np.float32
+        direct = np.asarray(predictor.predict(frame, action), np.float32)
+        np.testing.assert_array_equal(out, direct)
+        # uint8 quantization handles the bf16 source too.
+        quant = client_predict(url, frame, action, encoding="uint8")
+        assert quant.dtype == np.float32
+        assert np.max(np.abs(quant - direct)) <= 1.0 / 255.0 + 1e-6
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_unknown_encoding_is_refused(live_server):
+    import json
+    import urllib.error
+    import urllib.request
+
+    from action_conditioned_gans_tpu.serve import _dump_npz
+
+    url, _, _ = live_server
+    req = urllib.request.Request(
+        url + "/predict?encoding=float16",
+        data=_dump_npz(frame=np.zeros((1, 16, 16, 3), np.float32)),
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert "encoding" in json.loads(e.value.read())["error"]
+
+
 def test_error_paths(live_server):
     import json
     import urllib.error
