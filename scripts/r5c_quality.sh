@@ -25,6 +25,11 @@ note "r5b drained"
 wait_up 86400 || { note "tunnel out 24h; giving up"; exit 3; }
 note "TUNNEL UP; settling 30s"; sleep 30
 
+note "=== bench warm (driver-path confirmation; cold run populated .compile_cache) ==="
+timeout 700 python bench.py >"$LOG/bench_warm.log" 2>&1
+note "rc=$? $(tail -1 "$LOG/bench_warm.log")"
+
+wait_up 14400 || exit 3
 note "=== config5 1600-step quality run ==="
 rm -rf /tmp/r5_q_c5
 timeout 14000 python -m action_conditioned_gans_tpu train --preset config5 \
