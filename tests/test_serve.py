@@ -275,6 +275,36 @@ def test_negative_content_length_is_refused(live_server):
         conn.close()
 
 
+def test_meshed_predictor_serves_over_http():
+    """serve × mesh: an HTTP request through a dp4×tp2 Predictor returns
+    exactly the unmeshed result (the dryrun pins meshed serving in-process;
+    this pins it through the endpoint — placement/fetch of sharded outputs
+    happens inside the handler's np.asarray)."""
+    from action_conditioned_gans_tpu.config import MeshConfig
+    from action_conditioned_gans_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg()
+    params = make_params(cfg)
+    meshed = Predictor(cfg, params, mesh=make_mesh(MeshConfig(data=4, model=2)))
+    plain = Predictor(cfg, params)
+    srv = make_server(meshed, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        rng = np.random.default_rng(5)
+        frame0 = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+        actions = rng.standard_normal((4, 3, cfg.model.action_dim)).astype(
+            np.float32
+        )
+        via_http = client_rollout(url, frame0, actions)
+        direct = np.asarray(plain.rollout(frame0, actions))
+        np.testing.assert_allclose(via_http, direct, atol=1e-5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_cli_serve_requires_explicit_source():
     """Bare `acgan serve` must refuse (cfg.workdir's /tmp default would
     otherwise silently serve a stale checkpoint)."""
