@@ -107,6 +107,19 @@ class ModelConfig:
     # f32-vs-bf16 accumulation order (tests/test_wgrad.py).
     wgrad: str = "xla"
 
+    # Transposed-conv engine (independent of `backend`):
+    #   "xla"      — lax.conv_transpose (input-dilated conv; default).
+    #   "subpixel" — exact subpixel-phase rewrite: ONE 2x2 stride-1 conv to
+    #                4*cout channels + depth-to-space (ops/xla.py
+    #                conv2d_transpose_subpixel). Identical math (pinned
+    #                fwd+grad, tests/test_deconv.py), minimal MACs, 4x the
+    #                MXU output-lane fill — targets the 3-channel-output
+    #                deconvs the r5 config3 xplane anatomy measured at
+    #                2.4-44x their compute roofline (BASELINE.md). Plain AD
+    #                (no custom VJP), so DP check_vma stays on. Falls back
+    #                to "xla" off the k=4/stride-2/SAME envelope.
+    deconv: str = "xla"
+
     def __post_init__(self):
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
@@ -123,6 +136,20 @@ class ModelConfig:
             # knobs would silently run pallas and A/B the wrong engine.
             raise ValueError(
                 "wgrad='patches' is incompatible with backend='pallas'"
+            )
+        if self.deconv not in ("xla", "subpixel"):
+            raise ValueError(f"unknown deconv engine {self.deconv!r}")
+        if self.deconv == "subpixel" and self.backend == "pallas":
+            # The pallas conv-transpose kernel already embeds the subpixel
+            # decomposition; both knobs together would A/B the wrong engine.
+            raise ValueError(
+                "deconv='subpixel' is incompatible with backend='pallas'"
+            )
+        if self.deconv == "subpixel" and self.wgrad == "patches":
+            # The patches transpose-wgrad engine acts on the original
+            # transposed conv, which subpixel replaces with an ordinary conv.
+            raise ValueError(
+                "deconv='subpixel' is incompatible with wgrad='patches'"
             )
 
     @property

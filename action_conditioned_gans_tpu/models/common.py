@@ -80,6 +80,7 @@ class ConvBlock(nn.Module):
     backend: str = "xla"
     gn_backward: str = "ad"
     wgrad: str = "xla"
+    deconv: str = "xla"
     axis_name: Optional[str] = None
     # Spectral normalization of the kernel (see spectral_normalize): used
     # by the discriminator when ModelConfig.d_spectral_norm is on.
@@ -118,6 +119,7 @@ class ConvBlock(nn.Module):
             backend=self.backend,
             gn_backward=self.gn_backward,
             wgrad=self.wgrad,
+            deconv=self.deconv,
         )
 
 

@@ -50,6 +50,7 @@ class Generator(nn.Module):
                 backend=cfg.backend,
                 gn_backward=cfg.gn_backward,
                 wgrad=cfg.wgrad,
+                deconv=cfg.deconv,
                 axis_name=axis_name,
             )
             defaults.update(kw)

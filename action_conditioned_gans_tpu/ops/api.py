@@ -68,10 +68,41 @@ def conv2d(x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla") -> jax.
     return _xla.conv2d(x, w, stride=stride, padding=padding)
 
 
-def conv2d_transpose(x, w, *, stride=2, padding="SAME", backend=None, wgrad="xla") -> jax.Array:
+def _check_deconv(deconv: str, wgrad: str, backend: str) -> None:
+    # Same validate-before-dispatch rule as _check_wgrad: contradictions
+    # must fail on every path, not silently measure the wrong engine in an
+    # A/B run. subpixel rewrites the transposed conv into an ordinary conv
+    # + data movement, so the pallas deconv kernel and the patches
+    # transpose-wgrad engine (both of which act on the ORIGINAL transposed
+    # conv) cannot compose with it.
+    if deconv not in ("xla", "subpixel"):
+        raise ValueError(f"unknown deconv engine {deconv!r}")
+    if deconv == "subpixel" and backend == "pallas":
+        raise ValueError(
+            "deconv='subpixel' is incompatible with backend='pallas' (the "
+            "pallas conv-transpose kernel already embeds the subpixel "
+            "decomposition); use model.backend='xla'"
+        )
+    if deconv == "subpixel" and wgrad == "patches":
+        raise ValueError(
+            "deconv='subpixel' is incompatible with wgrad='patches' (the "
+            "patches transpose-wgrad engine acts on the original transposed "
+            "conv, which subpixel replaces); choose one"
+        )
+
+
+def conv2d_transpose(
+    x, w, *, stride=2, padding="SAME", backend=None, wgrad="xla", deconv="xla"
+) -> jax.Array:
     _check_wgrad(wgrad, _resolve(backend))
+    _check_deconv(deconv, wgrad, _resolve(backend))
     if _resolve(backend) == "pallas":
         return _pallas().conv2d_transpose(x, w, stride=stride, padding=padding)
+    if deconv == "subpixel":
+        # Exact subpixel-phase rewrite: one 2x2 conv to 4*cout channels +
+        # depth-to-space (ModelConfig.deconv; targets the 3-channel-output
+        # transposed convs the r5 xplane anatomy measured at 44x roofline).
+        return _xla.conv2d_transpose_subpixel(x, w, stride=stride, padding=padding)
     if wgrad == "patches":
         from action_conditioned_gans_tpu.ops.wgrad import (
             conv2d_transpose_patches_wgrad,
@@ -158,6 +189,7 @@ def conv_norm_act(
     backend=None,
     gn_backward="ad",
     wgrad="xla",
+    deconv="xla",
 ) -> jax.Array:
     """The fused conv(+transpose) -> norm -> activation block — the hot op of
     both models (BASELINE.json: "fused Pallas conv+norm+activation kernels").
@@ -166,6 +198,7 @@ def conv_norm_act(
     qualify (per-sample conv output resident in VMEM); anything else falls
     back to conv + fused norm_act, then to plain XLA.
     """
+    _check_deconv(deconv, wgrad, _resolve(backend))
     if _resolve(backend) == "pallas" and axis_name is None:
         p = _pallas()
         if transpose and p.conv_transpose_norm_act_supported(x, w, stride, kind, groups):
@@ -195,7 +228,9 @@ def conv_norm_act(
                 leak=leak,
             )
     if transpose:
-        y = conv2d_transpose(x, w, stride=stride, backend=backend, wgrad=wgrad)
+        y = conv2d_transpose(
+            x, w, stride=stride, backend=backend, wgrad=wgrad, deconv=deconv
+        )
     else:
         y = conv2d(x, w, stride=stride, backend=backend, wgrad=wgrad)
     return norm_act(

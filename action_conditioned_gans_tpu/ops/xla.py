@@ -66,6 +66,72 @@ def conv2d_transpose(
     )
 
 
+def subpixel_deconv_supported(w_shape, stride: int, padding: str) -> bool:
+    """Envelope of the exact subpixel decomposition: the k=4 / stride-2 /
+    SAME geometry — the only transposed-conv shape the models use."""
+    return (
+        len(w_shape) == 4
+        and stride == 2
+        and w_shape[0] == 4
+        and w_shape[1] == 4
+        and padding == "SAME"
+    )
+
+
+def conv2d_transpose_subpixel(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 2,
+    padding: str = "SAME",
+) -> jax.Array:
+    """``conv2d_transpose`` via the exact subpixel-phase decomposition
+    (``ModelConfig.deconv="subpixel"``).
+
+    Identity (derived for the Pallas kernel, ops/pallas/conv.py:289-297, and
+    numerically pinned fwd+grad in tests/test_deconv.py): with ``x`` padded
+    by 1, ``y[2a+r, 2b+c] = sum_{dy,dx in {0,1}} x_pad[a+dy+r, b+dx+c] @
+    w[2dy+r, 2dx+c]`` — each output subpixel phase ``(r, c)`` is a stride-1
+    2x2 conv with the phase kernel ``w[r::2, c::2]``. Stacking the four
+    phase kernels on the output-channel axis turns the whole op into ONE
+    VALID 2x2 conv to ``4*cout`` channels, finished by phase slicing +
+    depth-to-space (pure data movement XLA fuses into the epilogue).
+
+    Why it exists: identical math at minimal MACs with 4x the MXU
+    output-lane fill. ``lax.conv_transpose`` to ``cout=3`` (the generator's
+    output layer) leaves 125 of the MXU's 128 output lanes idle by
+    construction — the r5 config3 xplane anatomy measured that op class at
+    2.4-44x its compute roofline (BASELINE.md). Here the inner conv
+    contracts exactly the true FLOPs (no dilation zeros) into 12 output
+    channels. No custom VJP: gradients are plain AD through a conv and
+    slices (dw sees the 4*cout-wide conv wgrad, dx a 2x2 dgrad), so DP
+    ``check_vma`` verification stays ON — unlike the wgrad/pallas engines.
+
+    Falls back to :func:`conv2d_transpose` off the k=4/stride-2/SAME
+    envelope (same permanent-fallback idiom as the Pallas kernels).
+    """
+    if not subpixel_deconv_supported(w.shape, stride, padding):
+        return conv2d_transpose(x, w, stride=stride, padding=padding)
+    b, h, w_, cin = x.shape
+    cout = w.shape[3]
+    wd = w.astype(x.dtype)
+    # (2, 2, cin, 4*cout); phase p = 2r + c owns output block p.
+    wk = jnp.concatenate([wd[r::2, c::2] for r in range(2) for c in range(2)], axis=-1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dn = _DN(xp.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+    z = lax.conv_general_dilated(
+        xp, wk, window_strides=(1, 1), padding="VALID", dimension_numbers=dn
+    )  # (b, h+1, w+1, 4*cout)
+    phases = [
+        z[:, r : r + h, c : c + w_, (2 * r + c) * cout : (2 * r + c + 1) * cout]
+        for r in range(2)
+        for c in range(2)
+    ]
+    y = jnp.stack(phases, axis=3)  # (b, h, w, 4, cout), phase-major
+    y = y.reshape(b, h, w_, 2, 2, cout)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w_, cout)
+
+
 def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """Linear layer (reference ``ops.linear``)."""
     y = jnp.dot(x, w.astype(x.dtype))

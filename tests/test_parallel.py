@@ -344,6 +344,7 @@ KNOB_CELLS = {
         train=dict(disc_microbatch=2, rollout_length=2), data=dict(seq_len=3)
     ),
     "spectral_norm": dict(model=dict(d_spectral_norm=True)),
+    "deconv_subpixel": dict(model=dict(deconv="subpixel")),
     # The stacked cell: every D-side knob at once, microbatched — the kind
     # of combination a real stability-tuning run would use.
     "r1_augment_microbatch": dict(
