@@ -254,7 +254,13 @@ class Predictor:
             # caller's — an exported archive records how the model was
             # trained, not how this host should execute it (ADVICE r3:
             # wgrad was missing here, silently overwriting the caller's).
-            runtime_only = ("compute_dtype", "backend", "gn_backward", "wgrad")
+            runtime_only = (
+                "compute_dtype",
+                "backend",
+                "gn_backward",
+                "wgrad",
+                "deconv",
+            )
             arch_fields = {
                 f.name: getattr(model, f.name)
                 for f in dataclasses.fields(ModelConfig)

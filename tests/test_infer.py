@@ -198,6 +198,38 @@ def test_export_npz_round_trip(tmp_path):
     )
 
 
+def test_from_npz_deconv_is_runtime_only(tmp_path):
+    """An archive exported from a deconv='subpixel' training run must NOT
+    override the serving host's engine choice when a cfg is passed (the
+    ADVICE r3 wgrad lesson: an archive records how the model was trained,
+    not how this host should execute it) — and the predictions are engine-
+    invariant anyway (tests/test_deconv.py pins the math)."""
+    import dataclasses
+
+    from action_conditioned_gans_tpu.infer import export_generator
+
+    cfg = tiny_config(str(tmp_path))
+    cfg_sub = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, deconv="subpixel")
+    )
+    state = init_state(cfg_sub, jax.random.PRNGKey(3))
+    path = str(tmp_path / "g_subpixel.npz")
+    export_generator(cfg_sub, state.g_params, path)
+
+    # cfg=None: the archive's engine is adopted (trained-with defaults).
+    assert Predictor.from_npz(path).cfg.model.deconv == "subpixel"
+    # cfg passed: the host's engine survives.
+    loaded = Predictor.from_npz(path, cfg=cfg)
+    assert loaded.cfg.model.deconv == "xla"
+    frame = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3), minval=-1, maxval=1)
+    action = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    np.testing.assert_allclose(
+        np.asarray(Predictor(cfg_sub, state.g_params).predict(frame, action)),
+        np.asarray(loaded.predict(frame, action)),
+        atol=1e-5,
+    )
+
+
 def test_cli_export_and_errors(tmp_path, capsys):
     import json as _json
 
