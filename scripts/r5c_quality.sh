@@ -6,8 +6,10 @@
 # then samples strips and runs a held-out eval — upgrading "trains stably
 # for 400 steps" to a 4x longer run with an eval trajectory.
 #
-# Queued BEHIND scripts/r5b_onchip.sh: waits for its pidfile to vanish
-# (one TPU process at a time, CLAUDE.md rule 2), then wait_up-gates.
+# Queued BEHIND scripts/r5d_deconv_ab.sh (which itself queues behind
+# r5b_onchip.sh): waits for its pidfile to vanish (one TPU process at a
+# time, CLAUDE.md rule 2), then wait_up-gates. The short measured legs go
+# first so a flapping tunnel cannot starve them behind this multi-hour run.
 # Stop cleanly with: PIDFILE=/tmp/r5c_quality.pid bash scripts/r4_stop.sh
 set -u
 cd "$(dirname "$0")/.."
@@ -16,12 +18,14 @@ LOG=${LOG:-/tmp/r5c_quality}
 mkdir -p "$LOG"
 echo $$ >/tmp/r5c_quality.pid
 note() { echo "$* $(date -u +%F' '%T)" | tee -a "$LOG/watch.log"; }
-note "r5c_quality start; waiting for r5b queue to drain"
+note "r5c_quality start; waiting for the r5b and r5d queues to drain"
 
-while [ -f /tmp/r5b_onchip.pid ] && kill -0 "$(cat /tmp/r5b_onchip.pid)" 2>/dev/null; do
-  sleep 60
+for gate in /tmp/r5b_onchip.pid /tmp/r5d_deconv.pid; do
+  while [ -f "$gate" ] && kill -0 "$(cat "$gate")" 2>/dev/null; do
+    sleep 60
+  done
 done
-note "r5b drained"
+note "r5b+r5d drained"
 wait_up 86400 || { note "tunnel out 24h; giving up"; exit 3; }
 note "TUNNEL UP; settling 30s"; sleep 30
 

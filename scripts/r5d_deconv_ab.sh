@@ -13,7 +13,9 @@
 #   3. config5 geometry (256^2 T=30 — biggest spatial, cheapest probe size).
 # Win-or-lose into BASELINE.md either way (the wgrad=patches protocol).
 #
-# Queued BEHIND scripts/r5c_quality.sh (one TPU process at a time, rule 2).
+# Queued BEHIND scripts/r5b_onchip.sh and AHEAD of the multi-hour
+# r5c_quality.sh leg (one TPU process at a time, rule 2; short measured
+# legs before long quality runs so a flapping tunnel can't starve them).
 # Stop cleanly with: PIDFILE=/tmp/r5d_deconv.pid bash scripts/r4_stop.sh
 set -u
 cd "$(dirname "$0")/.."
@@ -22,12 +24,12 @@ LOG=${LOG:-/tmp/r5d_deconv}
 mkdir -p "$LOG"
 echo $$ >/tmp/r5d_deconv.pid
 note() { echo "$* $(date -u +%F' '%T)" | tee -a "$LOG/watch.log"; }
-note "r5d_deconv start; waiting for r5c queue to drain"
+note "r5d_deconv start; waiting for r5b queue to drain"
 
-while [ -f /tmp/r5c_quality.pid ] && kill -0 "$(cat /tmp/r5c_quality.pid)" 2>/dev/null; do
+while [ -f /tmp/r5b_onchip.pid ] && kill -0 "$(cat /tmp/r5b_onchip.pid)" 2>/dev/null; do
   sleep 60
 done
-note "r5c drained"
+note "r5b drained"
 wait_up 86400 || { note "tunnel out 24h; giving up"; exit 3; }
 note "TUNNEL UP; settling 30s"; sleep 30
 
