@@ -20,12 +20,12 @@ echo $$ >/tmp/r5c_quality.pid
 note() { echo "$* $(date -u +%F' '%T)" | tee -a "$LOG/watch.log"; }
 note "r5c_quality start; waiting for the r5b and r5d queues to drain"
 
-for gate in /tmp/r5b_onchip.pid /tmp/r5d_deconv.pid; do
+for gate in /tmp/r5b_onchip.pid /tmp/r5d_deconv.pid /tmp/r5e_kill.pid; do
   while [ -f "$gate" ] && kill -0 "$(cat "$gate")" 2>/dev/null; do
     sleep 60
   done
 done
-note "r5b+r5d drained"
+note "r5b+r5d+r5e drained"
 wait_up 86400 || { note "tunnel out 24h; giving up"; exit 3; }
 note "TUNNEL UP; settling 30s"; sleep 30
 
