@@ -120,6 +120,22 @@ class ModelConfig:
     #                to "xla" off the k=4/stride-2/SAME envelope.
     deconv: str = "xla"
 
+    # Engine for the LEVEL-0 (image-adjacent) strided convs — G enc_0 and
+    # D conv_0, the ones contracting 3-10 image/conditioning channels
+    # (independent of `backend`):
+    #   "xla" — lax.conv_general_dilated as-is (default).
+    #   "s2d" — exact space-to-depth rewrite: ONE stride-1 2x2 conv over the
+    #           4*cin phase tensor (ops/xla.py conv2d_s2d). Identical math
+    #           (pinned fwd+grad, tests/test_conv0.py) and MACs, 4x the
+    #           input-channel fill — and the conv's DGRAD becomes a
+    #           4*cin-channel-output conv instead of the 98%-lane-idle
+    #           3-channel one. Targets the image-adjacent small-channel conv
+    #           family the r5 config3 xplane anatomy measured at 2.4-44x
+    #           compute roofline (36% of op-sum, BASELINE.md). Plain AD (no
+    #           custom VJP), so DP check_vma stays on. Falls back to "xla"
+    #           off the k=4/stride-2/SAME/even-spatial envelope.
+    conv0: str = "xla"
+
     def __post_init__(self):
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
@@ -151,6 +167,16 @@ class ModelConfig:
             raise ValueError(
                 "deconv='subpixel' is incompatible with wgrad='patches'"
             )
+        if self.conv0 not in ("xla", "s2d"):
+            raise ValueError(f"unknown conv0 engine {self.conv0!r}")
+        if self.conv0 == "s2d" and self.backend == "pallas":
+            # The pallas conv kernel acts on the original conv, which s2d
+            # rewrites; both knobs together would A/B the wrong engine.
+            raise ValueError("conv0='s2d' is incompatible with backend='pallas'")
+        if self.conv0 == "s2d" and self.wgrad == "patches":
+            # The patches wgrad engine acts on the original conv, which s2d
+            # replaces with a different ordinary conv.
+            raise ValueError("conv0='s2d' is incompatible with wgrad='patches'")
 
     @property
     def dtype(self):

@@ -260,6 +260,7 @@ class Predictor:
                 "gn_backward",
                 "wgrad",
                 "deconv",
+                "conv0",
             )
             arch_fields = {
                 f.name: getattr(model, f.name)

@@ -81,6 +81,9 @@ class ConvBlock(nn.Module):
     gn_backward: str = "ad"
     wgrad: str = "xla"
     deconv: str = "xla"
+    # Strided-conv engine for THIS block ("xla" | "s2d"); the models set it
+    # to ModelConfig.conv0 on their level-0 (image-adjacent) convs only.
+    conv: str = "xla"
     axis_name: Optional[str] = None
     # Spectral normalization of the kernel (see spectral_normalize): used
     # by the discriminator when ModelConfig.d_spectral_norm is on.
@@ -120,6 +123,7 @@ class ConvBlock(nn.Module):
             gn_backward=self.gn_backward,
             wgrad=self.wgrad,
             deconv=self.deconv,
+            conv=self.conv,
         )
 
 

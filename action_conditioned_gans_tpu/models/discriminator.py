@@ -65,6 +65,9 @@ class Discriminator(nn.Module):
                 backend=cfg.backend,
                 gn_backward=cfg.gn_backward,
                 wgrad=cfg.wgrad,
+                # Level 0 contracts the 3-10 image/conditioning channels:
+                # the conv0 engine (exact s2d rewrite) applies here only.
+                conv=cfg.conv0 if i == 0 else "xla",
                 axis_name=axis_name,
                 spectral_norm=cfg.d_spectral_norm,
                 sn_iters=cfg.sn_iters,

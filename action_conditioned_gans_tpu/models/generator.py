@@ -66,6 +66,9 @@ class Generator(nn.Module):
                 stride=2,
                 norm="none" if i == 0 else cfg.norm,
                 act="lrelu",
+                # Level 0 contracts the 3-channel image: the conv0 engine
+                # (exact s2d rewrite) applies to this class only.
+                conv=cfg.conv0 if i == 0 else "xla",
                 name=f"enc_{i}",
             )(x)
             skips.append(x)

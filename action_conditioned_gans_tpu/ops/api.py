@@ -56,10 +56,41 @@ def _check_wgrad(wgrad: str, backend: str) -> None:
         )
 
 
-def conv2d(x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla") -> jax.Array:
+def _check_conv(conv: str, wgrad: str, backend: str) -> None:
+    # Same validate-before-dispatch rule as _check_wgrad/_check_deconv:
+    # contradictions must fail on every path, not silently measure the wrong
+    # engine in an A/B run. s2d rewrites the strided conv into a different
+    # ordinary conv + data movement, so the pallas conv kernel and the
+    # patches wgrad engine (both of which act on the ORIGINAL conv) cannot
+    # compose with it.
+    if conv not in ("xla", "s2d"):
+        raise ValueError(f"unknown conv engine {conv!r}")
+    if conv == "s2d" and backend == "pallas":
+        raise ValueError(
+            "conv='s2d' is incompatible with backend='pallas' (the pallas "
+            "conv kernel acts on the original conv, which s2d rewrites); "
+            "use model.backend='xla'"
+        )
+    if conv == "s2d" and wgrad == "patches":
+        raise ValueError(
+            "conv='s2d' is incompatible with wgrad='patches' (the patches "
+            "wgrad engine acts on the original conv, which s2d replaces); "
+            "choose one"
+        )
+
+
+def conv2d(
+    x, w, *, stride=1, padding="SAME", backend=None, wgrad="xla", conv="xla"
+) -> jax.Array:
     _check_wgrad(wgrad, _resolve(backend))
+    _check_conv(conv, wgrad, _resolve(backend))
     if _resolve(backend) == "pallas":
         return _pallas().conv2d(x, w, stride=stride, padding=padding)
+    if conv == "s2d":
+        # Exact space-to-depth rewrite: one stride-1 2x2 conv over the 4*cin
+        # phase tensor (ModelConfig.conv0; targets the small-channel
+        # image-adjacent convs the r5 xplane anatomies named as the floor).
+        return _xla.conv2d_s2d(x, w, stride=stride, padding=padding)
     if wgrad == "patches":
         # Same forward HLO; dW as one im2col matmul (ModelConfig.wgrad).
         from action_conditioned_gans_tpu.ops.wgrad import conv2d_patches_wgrad
@@ -190,6 +221,7 @@ def conv_norm_act(
     gn_backward="ad",
     wgrad="xla",
     deconv="xla",
+    conv="xla",
 ) -> jax.Array:
     """The fused conv(+transpose) -> norm -> activation block — the hot op of
     both models (BASELINE.json: "fused Pallas conv+norm+activation kernels").
@@ -199,6 +231,7 @@ def conv_norm_act(
     back to conv + fused norm_act, then to plain XLA.
     """
     _check_deconv(deconv, wgrad, _resolve(backend))
+    _check_conv(conv, wgrad, _resolve(backend))
     if _resolve(backend) == "pallas" and axis_name is None:
         p = _pallas()
         if transpose and p.conv_transpose_norm_act_supported(x, w, stride, kind, groups):
@@ -232,7 +265,7 @@ def conv_norm_act(
             x, w, stride=stride, backend=backend, wgrad=wgrad, deconv=deconv
         )
     else:
-        y = conv2d(x, w, stride=stride, backend=backend, wgrad=wgrad)
+        y = conv2d(x, w, stride=stride, backend=backend, wgrad=wgrad, conv=conv)
     return norm_act(
         y,
         scale,

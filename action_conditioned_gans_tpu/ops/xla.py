@@ -132,6 +132,73 @@ def conv2d_transpose_subpixel(
     return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w_, cout)
 
 
+def s2d_conv_supported(w_shape, stride: int, padding: str) -> bool:
+    """Envelope of the exact space-to-depth rewrite: the k=4 / stride-2 /
+    SAME geometry — the only strided-conv shape the models use (even spatial
+    dims are additionally required and checked at call time)."""
+    return (
+        len(w_shape) == 4
+        and stride == 2
+        and w_shape[0] == 4
+        and w_shape[1] == 4
+        and padding == "SAME"
+    )
+
+
+def conv2d_s2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 2,
+    padding: str = "SAME",
+) -> jax.Array:
+    """``conv2d`` via an exact space-to-depth rewrite (``ModelConfig.conv0``).
+
+    The input-side mirror of :func:`conv2d_transpose_subpixel`. Identity
+    (pinned fwd+grad in tests/test_conv0.py): with ``x`` padded by 1 (what
+    SAME means for k=4/stride-2/even H), ``y[i, j] = sum_{p,q in 0..3}
+    x_pad[2i+p, 2j+q] @ w[p, q]``; writing ``p = 2*dp + r`` makes each term
+    read phase ``(r, c)`` of the space-to-depth'd input at offset
+    ``(dp, dq)`` — i.e. ONE stride-1 VALID 2x2 conv over the (H/2+1, W/2+1,
+    4*cin) phase tensor with the phase kernels ``w[r::2, c::2]`` stacked on
+    the input-channel axis.
+
+    Why it exists: identical MACs with 4x the input-channel fill. The
+    models' level-0 convs contract 3-10 image/conditioning channels, and
+    their DGRAD is a 3-channel-OUTPUT transposed conv — the same
+    construction-idle MXU class the subpixel engine targets (the r5 config3
+    xplane anatomy measured the conv_0 family fwd+dgrad+wgrad at 2.4-44x
+    compute roofline, 36% of the preset's op-sum, BASELINE.md). After the
+    rewrite the dgrad produces the 4*cin=12-channel phase tensor instead.
+    No custom VJP: gradients are plain AD through pad/reshape/transpose and
+    an ordinary conv, so DP ``check_vma`` verification stays ON.
+
+    Falls back to :func:`conv2d` off the k=4/stride-2/SAME envelope or for
+    odd spatial dims (SAME pads (1, 2) there, breaking the phase split).
+    """
+    if (
+        not s2d_conv_supported(w.shape, stride, padding)
+        or x.shape[1] % 2
+        or x.shape[2] % 2
+    ):
+        return conv2d(x, w, stride=stride, padding=padding)
+    b, h, w_, cin = x.shape
+    wd = w.astype(x.dtype)
+    # (2, 2, 4*cin, cout); input-channel block p = 2r + c holds phase (r, c).
+    wk = jnp.concatenate([wd[r::2, c::2] for r in range(2) for c in range(2)], axis=2)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h2, w2 = (h + 2) // 2, (w_ + 2) // 2
+    xs = (
+        xp.reshape(b, h2, 2, w2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h2, w2, 4 * cin)
+    )
+    dn = _DN(xs.shape, wk.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        xs, wk, window_strides=(1, 1), padding="VALID", dimension_numbers=dn
+    )  # (b, h/2, w/2, cout)
+
+
 def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
     """Linear layer (reference ``ops.linear``)."""
     y = jnp.dot(x, w.astype(x.dtype))

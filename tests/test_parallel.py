@@ -345,6 +345,7 @@ KNOB_CELLS = {
     ),
     "spectral_norm": dict(model=dict(d_spectral_norm=True)),
     "deconv_subpixel": dict(model=dict(deconv="subpixel")),
+    "conv0_s2d": dict(model=dict(conv0="s2d")),
     # The stacked cell: every D-side knob at once, microbatched — the kind
     # of combination a real stability-tuning run would use.
     "r1_augment_microbatch": dict(
