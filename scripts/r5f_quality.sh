@@ -1,9 +1,16 @@
 #!/bin/bash
-# Round-5 session-4: replacement for scripts/r5c_quality.sh (stopped while
-# still gate-waiting) that FIRST retries the head_subpixel A/B leg — the
-# r5d run of it was eaten by a tunnel flap (watchdog rc=3 at 22:30, log
-# /tmp/r5d_deconv/head_subpixel.log) and r5d does not retry legs — then
-# runs the extended config5 quality leg unchanged.
+# Round-5 session-4: replacement for scripts/r5c_quality.sh. Order:
+#   1. head_subpixel retry — the r5d run of it was eaten by a tunnel flap
+#      (watchdog rc=3 at 22:30, /tmp/r5d_deconv/head_subpixel.log) and r5d
+#      does not retry legs.
+#   2. conv0=s2d A/B — the NEW input-side engine (commit c6840de): headline
+#      geometry alone and combined with deconv=subpixel, plus 24-step
+#      probes at config3 (where the edge class is 36% of op-sum) and the
+#      combined engines at config5. Win-or-lose into BASELINE.md.
+#   3. bench warm (driver-path confirmation of the final headline).
+#   4. The extended config5 1600-step quality leg (from r5c, unchanged).
+# Short measured legs go first so a flapping tunnel cannot starve them
+# behind the multi-hour quality run.
 #
 # Queue position: BEHIND r5b (done), r5d and r5e — waits on their pidfiles
 # (one TPU process at a time, CLAUDE.md rule 2).
@@ -26,17 +33,46 @@ note "r5b+r5d+r5e drained"
 wait_up 86400 || { note "tunnel out 24h; giving up"; exit 3; }
 note "TUNNEL UP; settling 30s"; sleep 30
 
-note "=== head_subpixel retry (r5d leg lost to the 22:30 flap) ==="
-timeout 700 env \
+run() { # name timeout cmd...
+  local name=$1 t=$2; shift 2
+  wait_up 14400 || { note "$name SKIPPED (tunnel)"; return 1; }
+  note "=== $name ==="
+  timeout "$t" "$@" >"$LOG/$name.log" 2>&1
+  note "$name rc=$? $(tail -1 "$LOG/$name.log")"
+}
+
+# 1. head_subpixel retry (r5d leg lost to the 22:30 flap).
+run head_subpixel 700 env \
   ACGAN_BENCH_OVERRIDES="train.adam_moment_dtype=bfloat16 model.deconv=subpixel" \
-  python bench.py >"$LOG/head_subpixel.log" 2>&1
-note "head_subpixel rc=$? $(tail -1 "$LOG/head_subpixel.log")"
+  python bench.py
 
-wait_up 14400 || exit 3
-note "=== bench warm (driver-path confirmation) ==="
-timeout 700 python bench.py >"$LOG/bench_warm.log" 2>&1
-note "rc=$? $(tail -1 "$LOG/bench_warm.log")"
+# 2. conv0=s2d A/B at the headline geometry: alone, then both engines.
+run head_s2d 700 env \
+  ACGAN_BENCH_OVERRIDES="train.adam_moment_dtype=bfloat16 model.conv0=s2d" \
+  python bench.py
+run head_both 700 env \
+  ACGAN_BENCH_OVERRIDES="train.adam_moment_dtype=bfloat16 model.conv0=s2d model.deconv=subpixel" \
+  python bench.py
 
+# 2b. Preset-geometry probes (r5d measures the xla/subpixel legs).
+for spec in "config3 s2d xla" "config3 s2d subpixel" "config5 s2d subpixel"; do
+  set -- $spec
+  preset=$1 c0=$2 dec=$3
+  run "${preset}_c0${c0}_dec${dec}" 1500 python - <<EOF
+import dataclasses, json
+from action_conditioned_gans_tpu.bench import run_bench
+from action_conditioned_gans_tpu.config import get_preset
+cfg = get_preset("$preset")
+cfg = dataclasses.replace(
+    cfg, model=dataclasses.replace(cfg.model, conv0="$c0", deconv="$dec"))
+print(json.dumps(run_bench(cfg, steps=24), default=str))
+EOF
+done
+
+# 3. bench warm (driver-path confirmation).
+run bench_warm 700 python bench.py
+
+# 4. config5 1600-step quality run (unchanged from r5c).
 wait_up 14400 || exit 3
 note "=== config5 1600-step quality run ==="
 rm -rf /tmp/r5_q_c5
