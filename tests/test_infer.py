@@ -230,6 +230,35 @@ def test_from_npz_deconv_is_runtime_only(tmp_path):
     )
 
 
+def test_from_npz_conv0_is_runtime_only(tmp_path):
+    """Same runtime-only rule for the conv0 engine (mirror of the deconv
+    test above; math invariance pinned in tests/test_conv0.py)."""
+    import dataclasses
+
+    from action_conditioned_gans_tpu.infer import export_generator
+
+    cfg = tiny_config(str(tmp_path))
+    cfg_s2d = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, conv0="s2d")
+    )
+    state = init_state(cfg_s2d, jax.random.PRNGKey(3))
+    path = str(tmp_path / "g_s2d.npz")
+    export_generator(cfg_s2d, state.g_params, path)
+
+    # cfg=None: the archive's engine is adopted (trained-with defaults).
+    assert Predictor.from_npz(path).cfg.model.conv0 == "s2d"
+    # cfg passed: the host's engine survives.
+    loaded = Predictor.from_npz(path, cfg=cfg)
+    assert loaded.cfg.model.conv0 == "xla"
+    frame = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3), minval=-1, maxval=1)
+    action = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    np.testing.assert_allclose(
+        np.asarray(Predictor(cfg_s2d, state.g_params).predict(frame, action)),
+        np.asarray(loaded.predict(frame, action)),
+        atol=1e-5,
+    )
+
+
 def test_cli_export_and_errors(tmp_path, capsys):
     import json as _json
 
