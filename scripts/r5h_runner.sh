@@ -102,6 +102,8 @@ measured_pass() { # one pass over every short measured leg; 0 iff ALL done
   probe_leg config3_subpixel config3 xla subpixel || all=1
   probe_leg config3_c0s2d_decxla config3 s2d xla || all=1
   probe_leg config3_c0s2d_decsubpixel config3 s2d subpixel || all=1
+  probe_leg config4_xla config4 xla xla || all=1
+  probe_leg config4_c0s2d_decsubpixel config4 s2d subpixel || all=1
   probe_leg config5_xla config5 xla xla || all=1
   probe_leg config5_subpixel config5 xla subpixel || all=1
   probe_leg config5_c0s2d_decsubpixel config5 s2d subpixel || all=1
