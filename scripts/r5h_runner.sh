@@ -87,7 +87,16 @@ preset, c0, dec = sys.argv[1:4]
 cfg = get_preset(preset)
 cfg = dataclasses.replace(
     cfg, model=dataclasses.replace(cfg.model, conv0=c0, deconv=dec))
-print(json.dumps(run_bench(cfg, steps=24), default=str))
+if preset == "config5":
+    # Mirror run_presets()'s single-chip overrides: the pod-global batch 32
+    # at 256^2 is an XLA OOM on one chip without D microbatching, and k=2
+    # halves the 256^2 compile (bench.py:270). Keeps the A/B comparable to
+    # the BENCH_PRESETS.json config5 row.
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, disc_microbatch=120, steps_per_call=2))
+steps = 12 if preset == "config5" else 24
+print(json.dumps(run_bench(cfg, steps=steps), default=str))
 EOF
   note "$1 rc=$? $(tail -1 "$LOG/$1.log")"
   leg_done "$1"
